@@ -1,0 +1,149 @@
+"""String format / pattern detectors.
+
+Reference: Annotations object at
+/root/reference/src/main/scala/com.snowplowanalytics/schemaguru/generators/SchemaGenerator.scala:152-222.
+Priority chain (first match wins): uuid -> date-time (len > 10) -> ipv4/ipv6
+-> uri; pattern chain: base64 (with quantity/length suppression guard).
+
+Two surfaces:
+- scalar ``suggest_*(s) -> Optional[str]`` used inside per-document recursion;
+- vectorized ``detect_format_series(pd.Series) -> pd.Series`` for flat string
+  columns (pandas str ops, Arrow-batched — no per-row Python UDFs).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+from datetime import datetime
+from typing import Optional
+
+# Strict RFC-4122 textual layout. The reference uses java.util.UUID.fromString
+# (SchemaGenerator.scala:169-176), which tolerates short hex groups; we use the
+# canonical 8-4-4-4-12 form, which covers every vector the reference tests
+# (StringFormatAnnotationSpec.scala:33,45) and is what real UUIDs look like.
+UUID_RE = re.compile(
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+IPV4_RE = re.compile(
+    r"^(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+    r"(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}$"
+)
+
+# commons-validator UrlValidator default schemes are http/https/ftp
+# (SchemaGenerator.scala:185-189). Authority must look like a host with a TLD,
+# an IPv4, or localhost.
+URL_RE = re.compile(
+    r"^(?:https?|ftp)://"
+    r"(?:[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?\.)+[A-Za-z]{2,}"
+    r"|^(?:https?|ftp)://localhost"
+    r"|^(?:https?|ftp)://(?:\d{1,3}\.){3}\d{1,3}"
+)
+URL_FULL_RE = re.compile(
+    r"^(?:https?|ftp)://"
+    r"(?:(?:[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?\.)+[A-Za-z]{2,}|localhost|(?:\d{1,3}\.){3}\d{1,3})"
+    r"(?::\d{1,5})?"
+    r"(?:[/?#][^\s]*)?$"
+)
+
+# Verbatim from SchemaGenerator.scala:195.
+BASE64_PATTERN = (
+    "^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{4}|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{2}==)$"
+)
+BASE64_RE = re.compile(BASE64_PATTERN)
+
+ISO_BASIC_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([T ].*)?$")
+
+
+def suggest_uuid(s: str) -> Optional[str]:
+    """SchemaGenerator.scala:169-176."""
+    return "uuid" if UUID_RE.match(s) else None
+
+
+def suggest_time(s: str) -> Optional[str]:
+    """ISO-8601 date-time, only for strings longer than 10 chars — the
+    truncation guard excluding bare dates (SchemaGenerator.scala:158-167)."""
+    if len(s) <= 10:
+        return None
+    if not ISO_BASIC_RE.match(s):
+        return None
+    try:
+        datetime.fromisoformat(s.replace("Z", "+00:00"))
+        return "date-time"
+    except ValueError:
+        return None
+
+
+def suggest_ip(s: str) -> Optional[str]:
+    """ipv4 then ipv6 (SchemaGenerator.scala:178-183)."""
+    if IPV4_RE.match(s):
+        return "ipv4"
+    if ":" in s:
+        try:
+            ipaddress.IPv6Address(s)
+            return "ipv6"
+        except ValueError:
+            return None
+    return None
+
+
+def suggest_url(s: str) -> Optional[str]:
+    """SchemaGenerator.scala:185-189."""
+    return "uri" if URL_FULL_RE.match(s) else None
+
+
+FORMAT_SUGGESTIONS = (suggest_uuid, suggest_time, suggest_ip, suggest_url)
+
+
+def suggest_format(s: str) -> Optional[str]:
+    """First-match priority chain (SchemaGenerator.scala:202-222)."""
+    for fn in FORMAT_SUGGESTIONS:
+        fmt = fn(s)
+        if fmt is not None:
+            return fmt
+    return None
+
+
+def suggest_base64(s: str, quantity: Optional[int]) -> Optional[str]:
+    """Base64 pattern with the small-instance-set suppression: when the
+    total quantity is known and < 10 AND the string is shorter than 32
+    chars, no suggestion (SchemaGenerator.scala:191-200)."""
+    if quantity is not None and quantity < 10 and len(s) < 32:
+        return None
+    return BASE64_PATTERN if BASE64_RE.match(s) else None
+
+
+def detect_format_series(values):
+    """Vectorized format detection over a pandas Series of strings.
+
+    Same precedence as ``suggest_format`` but computed with pandas str
+    kernels — for use in Arrow-batched UDFs over flat string columns.
+    Returns a Series of {'uuid','date-time','ipv4','ipv6','uri', None}.
+    """
+    import numpy as np
+    import pandas as pd
+
+    s = values.astype("string")
+    is_uuid = s.str.match(UUID_RE.pattern, na=False)
+    longish = s.str.len().fillna(0) > 10
+    iso_shape = s.str.match(
+        r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(:\d{2})?(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$",
+        na=False,
+    )
+    # pd.to_datetime validates the calendar (month 13 etc.)
+    parsed = pd.to_datetime(
+        s.where(iso_shape & longish), errors="coerce", utc=True, format="ISO8601"
+    )
+    is_dt = parsed.notna() & longish
+    is_ip4 = s.str.match(IPV4_RE.pattern, na=False)
+    is_ip6 = s.str.contains(":", na=False) & s.apply(
+        lambda x: isinstance(x, str) and suggest_ip(x) == "ipv6"
+    )
+    is_uri = s.str.match(URL_FULL_RE.pattern, na=False)
+    out = np.select(
+        [is_uuid, is_dt, is_ip4, is_ip6, is_uri],
+        ["uuid", "date-time", "ipv4", "ipv6", "uri"],
+        default=None,
+    )
+    return pd.Series(out, index=values.index, dtype="object")

@@ -1,0 +1,155 @@
+"""Property-based roundtrip — port of RandomValidSpec.scala:35-70:
+(i) a derived schema validates its own source instance;
+(ii) {} validates anything;
+(iii) a type-mismatched instance fails;
+plus merge laws (associativity/commutativity/identity) that distributed
+tree-reduction depends on."""
+
+import json
+import string
+import uuid
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from schema_guru_spark.core.context import SchemaContext
+from schema_guru_spark.core.microschema import (
+    ZERO, derive, dumps, loads, merge, merge_all, render,
+)
+from schema_guru_spark.core.transforms import apply_transforms
+from schema_guru_spark.core.validate import is_valid, validate
+
+CTX = SchemaContext.make(0)
+CTX_ENUM = SchemaContext.make(5)
+
+keys = st.text(string.ascii_letters + "_", min_size=1, max_size=8)
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    # float-exact range: int⊕number widening goes through float64 (as the
+    # reference's BigInt.toDouble, NumberSchema.scala:54-61), so integers
+    # beyond 2^53 lose precision in merged bounds. The reference property
+    # suite generates 32-bit ints (RandomValidSpec.scala:75-149).
+    st.integers(min_value=-(2**53) + 1, max_value=2**53 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=30),
+    st.uuids().map(str),
+    st.datetimes().map(lambda d: d.isoformat()),
+)
+json_values = st.recursive(
+    scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(keys, children, max_size=4),
+    ),
+    max_leaves=12,
+)
+json_docs = st.one_of(
+    st.dictionaries(keys, json_values, max_size=5),
+    st.lists(json_values, max_size=5),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(json_docs)
+def test_derived_schema_validates_own_instance(doc):
+    sch, err = derive(doc, CTX)
+    assert err is None
+    rendered = render(sch, CTX)
+    assert validate(doc, rendered) == []
+
+
+@settings(max_examples=100, deadline=None)
+@given(json_docs)
+def test_derived_schema_validates_after_transforms(doc):
+    # transforms only widen/relax numeric+length bounds, so validity holds
+    sch, _ = derive(doc, CTX)
+    rendered = render(apply_transforms(sch, CTX), CTX)
+    assert validate(doc, rendered) == []
+
+
+@settings(max_examples=100, deadline=None)
+@given(json_values)
+def test_empty_schema_validates_anything(value):
+    assert is_valid(value, {})
+
+
+def test_type_mismatch_fails():
+    sch, _ = derive({"a": 42}, CTX)
+    rendered = render(sch, CTX)
+    assert not is_valid({"a": "forty-two"}, rendered)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(json_docs, min_size=1, max_size=5))
+def test_merge_commutative_and_associative(docs):
+    schemas = [derive(d, CTX_ENUM)[0] for d in docs]
+    fwd = merge_all(schemas, CTX_ENUM)
+    rev = merge_all(list(reversed(schemas)), CTX_ENUM)
+    # pairwise tree shape
+    tree = schemas[0]
+    for s in schemas[1:]:
+        tree = merge(s, tree, CTX_ENUM)
+    # enum ordering is observation-order-dependent (as in the reference);
+    # compare modulo enum order
+    def canon(s):
+        o = json.loads(dumps(s))
+        def fix(node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    if k == "enum" and isinstance(v, list):
+                        node[k] = sorted(map(repr, v))
+                    else:
+                        fix(v)
+        fix(o)
+        return json.dumps(o, sort_keys=True)
+    assert canon(fwd) == canon(rev) == canon(tree)
+
+
+@settings(max_examples=100, deadline=None)
+@given(json_docs)
+def test_state_json_roundtrip(doc):
+    sch, _ = derive(doc, CTX_ENUM)
+    assert loads(dumps(sch)) == sch
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(json_docs, min_size=2, max_size=6))
+def test_merged_schema_validates_all_instances(docs):
+    schemas = [derive(d, CTX)[0] for d in docs]
+    merged = render(merge_all(schemas, CTX), CTX)
+    for d in docs:
+        assert validate(d, merged) == []
+
+
+def test_identity_law():
+    sch, _ = derive({"x": [1, "a", None]}, CTX)
+    assert merge(sch, ZERO, CTX) == sch == merge(ZERO, sch, CTX)
+
+
+def test_realistic_fixture():
+    # PagerDuty-style webhook in the spirit of
+    # /root/reference/src/test/resources/test_json_1.json
+    doc = {
+        "id": str(uuid.uuid4()),
+        "created_on": "2014-11-12T18:53:47+00:00",
+        "type": "incident.trigger",
+        "data": {
+            "incident": {
+                "number": 119,
+                "status": "triggered",
+                "html_url": "https://acme.pagerduty.com/incidents/P9WY9U9",
+                "resolved_by_user": None,
+            }
+        },
+    }
+    sch, err = derive(doc, CTX)
+    assert err is None
+    rendered = render(sch, CTX)
+    inc = rendered["properties"]["data"]["properties"]["incident"]
+    assert rendered["properties"]["id"]["format"] == "uuid"
+    assert rendered["properties"]["created_on"]["format"] == "date-time"
+    assert inc["properties"]["html_url"]["format"] == "uri"
+    assert inc["properties"]["number"]["type"] == "integer"
+    assert inc["properties"]["resolved_by_user"]["type"] == "null"
+    assert validate(doc, rendered) == []
