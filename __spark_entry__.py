@@ -1,38 +1,353 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2,
+runnable as ``fn(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` holds the
+DuckDB-equivalent ANSI SQL (same column names/aliases) for the driver's
+side-by-side correctness check. Non-SQL-expressible operators (the
+recursive schema-merge aggregation) have no oracle entry -> rows-only.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from schema_guru_spark.core.context import SchemaContext
+from schema_guru_spark.operators import constraints as C
+from schema_guru_spark.operators import stats as S
+from schema_guru_spark.operators.infer import (
+    infer_json_column,
+    infer_json_column_by_key,
+)
+
+CTX = SchemaContext.make(0)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: distributed schema inference over events.props
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Infer the merged JSON Schema of sf0.001 events.props (derive ->
+    per-partition merge -> tree combine -> transform passes), returning a
+    one-row DataFrame with the rendered schema + counters."""
+    events = _t(spark, "/root/testdata/sf0.001", "events")
+    res = infer_json_column(events, "props", CTX)
+    rendered = json.dumps(res.schema(CTX), sort_keys=True)
+    dupes = json.dumps(sorted(res.duplicated_keys()))
+    return spark.createDataFrame(
+        [(rendered, res.n_ok, res.n_err, dupes)],
+        "schema string, n_ok long, n_err long, duplicated_keys string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — one per operator
+# ---------------------------------------------------------------------------
+
+def q_string_profile_cname(spark, sf):
+    return S.string_profile(_t(spark, sf, "customer"), "c_name")
+
+
+def q_string_profile_doc_text(spark, sf):
+    return S.string_profile(_t(spark, sf, "documents"), "text")
+
+
+def q_numeric_profile_quantity(spark, sf):
+    return S.numeric_profile(_t(spark, sf, "lineitem"), "l_quantity")
+
+
+def q_numeric_profile_acctbal(spark, sf):
+    return S.numeric_profile(_t(spark, sf, "customer"), "c_acctbal")
+
+
+def q_enum_orderpriority(spark, sf):
+    df = S.enum_candidates(_t(spark, sf, "orders"), "o_orderpriority", 8)
+    return df.select("n_distinct",
+                     F.array_join("enum", ",").alias("enum_csv"))
+
+
+def q_enum_over_cardinality(spark, sf):
+    # tombstoned: > 3 distinct values at K=3 -> NULL (E1 elimination)
+    df = S.enum_candidates(_t(spark, sf, "events"), "event_type", 3)
+    return df.select("n_distinct",
+                     F.array_join("enum", ",").alias("enum_csv"))
+
+
+def q_duplicate_keys_source(spark, sf):
+    return S.duplicate_keys(_t(spark, sf, "documents"), "source") \
+            .orderBy("key_a", "key_b")
+
+
+def q_segment_props(spark, sf):
+    return S.segment_counts(_t(spark, sf, "events"), "props", "$.k")
+
+
+def q_latest_event_per_user(spark, sf):
+    out = S.group_with_latest(_t(spark, sf, "events"), ["user_id"],
+                              ["ts", "event_id"])
+    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so NTZ->TZ->epoch
+    # equals DuckDB's epoch(naive ts)
+    return out.select("user_id", "event_id", "event_type",
+                      F.col("ts").cast("timestamp").cast("long").alias("ts_epoch")) \
+              .orderBy("user_id")
+
+
+def q_uniqueness_orders(spark, sf):
+    return C.uniqueness_exact(_t(spark, sf, "orders"), ["o_orderkey"])
+
+
+def q_uniqueness_lineitem_pk(spark, sf):
+    return C.uniqueness_exact(_t(spark, sf, "lineitem"),
+                              ["l_orderkey", "l_linenumber"])
+
+
+def q_ri_orders_customer(spark, sf):
+    return C.orphan_key_counts(_t(spark, sf, "orders"),
+                               _t(spark, sf, "customer"),
+                               "o_custkey", "c_custkey")
+
+
+def q_duplicate_rows_events_user_ts(spark, sf):
+    return C.duplicate_key_rows(_t(spark, sf, "events"), ["user_id"]) \
+            .orderBy("user_id")
+
+
+def q_psi_price_returnflag(spark, sf):
+    return C.psi(_t(spark, sf, "lineitem"), "l_extendedprice",
+                 "l_returnflag", "R", "N", n_bins=10)
+
+
+def q_ks_quantity_linestatus(spark, sf):
+    return C.ks_two_sample(_t(spark, sf, "lineitem"), "l_quantity",
+                           "l_linestatus", "O", "F")
+
+
+def q_snakify_mktsegment(spark, sf):
+    # F4 snakify over distinct values (camelCase -> snake_case)
+    df = _t(spark, sf, "customer").select("c_mktsegment").distinct()
+    return df.select(F.col("c_mktsegment").alias("raw"),
+                     S.snakify(F.col("c_mktsegment")).alias("snake")) \
+             .orderBy("raw")
+
+
+# --- non-SQL-expressible (recursive merge state): rows-only checks ---
+
+def q_infer_props_schema(spark, sf):
+    res = infer_json_column(_t(spark, sf, "events"), "props", CTX)
+    rendered = json.dumps(res.schema(CTX), sort_keys=True)
+    return spark.createDataFrame(
+        [(rendered, res.n_ok, res.n_err)],
+        "schema string, n_ok long, n_err long")
+
+
+def q_infer_by_event_type(spark, sf):
+    out = infer_json_column_by_key(_t(spark, sf, "events"), "props",
+                                   "event_type", CTX)
+    return out.orderBy("event_type")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "string_profile_cname": q_string_profile_cname,
+        "string_profile_doc_text": q_string_profile_doc_text,
+        "numeric_profile_quantity": q_numeric_profile_quantity,
+        "numeric_profile_acctbal": q_numeric_profile_acctbal,
+        "enum_orderpriority": q_enum_orderpriority,
+        "enum_over_cardinality": q_enum_over_cardinality,
+        "duplicate_keys_source": q_duplicate_keys_source,
+        "segment_props": q_segment_props,
+        "latest_event_per_user": q_latest_event_per_user,
+        "uniqueness_orders": q_uniqueness_orders,
+        "uniqueness_lineitem_pk": q_uniqueness_lineitem_pk,
+        "ri_orders_customer": q_ri_orders_customer,
+        "duplicate_rows_events_user": q_duplicate_rows_events_user_ts,
+        "psi_price_returnflag": q_psi_price_returnflag,
+        "ks_quantity_linestatus": q_ks_quantity_linestatus,
+        "snakify_mktsegment": q_snakify_mktsegment,
+        "infer_props_schema": q_infer_props_schema,
+        "infer_by_event_type": q_infer_by_event_type,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — same aliases, same values
+# ---------------------------------------------------------------------------
+
+_UUID_RE = S.UUID_SQL_RE
+_IPV4_RE = S.IPV4_SQL_RE
+_URI_RE = S.URI_SQL_RE
+_DT_RE = S.DATETIME_SQL_RE
+
+
+def _string_profile_sql(table: str, col: str) -> str:
+    return f"""
+    SELECT count(*)::BIGINT AS n_rows,
+           count({col})::BIGINT AS n_present,
+           min(length({col})) AS min_len,
+           max(length({col})) AS max_len,
+           count(DISTINCT {col})::BIGINT AS n_distinct,
+           sum(CASE WHEN regexp_matches({col}, '{_UUID_RE}') THEN 1 ELSE 0 END)::BIGINT AS n_uuid,
+           sum(CASE WHEN regexp_matches({col}, '{_IPV4_RE}') THEN 1 ELSE 0 END)::BIGINT AS n_ipv4,
+           sum(CASE WHEN regexp_matches({col}, '{_URI_RE}') THEN 1 ELSE 0 END)::BIGINT AS n_uri,
+           sum(CASE WHEN regexp_matches({col}, '{_DT_RE}') THEN 1 ELSE 0 END)::BIGINT AS n_datetime
+    FROM {table}
     """
-    return {}
+
+
+def _numeric_profile_sql(table: str, col: str) -> str:
+    return f"""
+    WITH agg AS (
+      SELECT count(*)::BIGINT AS n_rows, count({col})::BIGINT AS n_present,
+             min({col})::DOUBLE AS min_val, max({col})::DOUBLE AS max_val
+      FROM {table})
+    SELECT n_rows, n_present, min_val, max_val,
+      (CASE WHEN min_val >= 0 AND max_val <= 32767 THEN 0
+            WHEN min_val >= -32768 AND max_val <= 32767 THEN -32768
+            WHEN min_val >= 0 AND max_val <= 2147483647 THEN 0
+            WHEN min_val >= -2147483648 AND max_val <= 2147483647 THEN -2147483648
+            WHEN min_val >= 0 THEN 0
+            ELSE -9223372036854775808 END)::BIGINT AS encased_min,
+      (CASE WHEN min_val >= 0 AND max_val <= 32767 THEN 32767
+            WHEN min_val >= -32768 AND max_val <= 32767 THEN 32767
+            WHEN min_val >= 0 AND max_val <= 2147483647 THEN 2147483647
+            WHEN min_val >= -2147483648 AND max_val <= 2147483647 THEN 2147483647
+            ELSE 9223372036854775807 END)::BIGINT AS encased_max
+    FROM agg
+    """
+
+
+def _psi_sql(table: str, col: str, grp: str, b: str, t: str, n_bins: int = 10) -> str:
+    return f"""
+    WITH sub AS (
+      SELECT {col} AS v, {grp} AS g FROM {table}
+      WHERE {grp} IN ('{b}','{t}') AND {col} IS NOT NULL),
+    bounds AS (SELECT min(v)::DOUBLE AS lo, max(v)::DOUBLE AS hi FROM sub),
+    binned AS (
+      SELECT least({n_bins - 1},
+               floor((v - lo) / ((hi - lo) / {n_bins} + 1e-12))::INT) AS bin,
+             sum(CASE WHEN g = '{b}' THEN 1 ELSE 0 END)::BIGINT AS nb,
+             sum(CASE WHEN g = '{t}' THEN 1 ELSE 0 END)::BIGINT AS nt
+      FROM sub, bounds GROUP BY 1),
+    tot AS (SELECT sum(nb) AS tb, sum(nt) AS tt FROM binned),
+    terms AS (
+      SELECT ((nt + 0.5) / (tt + 0.5 * {n_bins})) AS pt,
+             ((nb + 0.5) / (tb + 0.5 * {n_bins})) AS pb
+      FROM binned, tot)
+    SELECT round(sum((pt - pb) * ln(pt / pb)), 6) AS psi FROM terms
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "string_profile_cname": _string_profile_sql("customer", "c_name"),
+        "string_profile_doc_text": _string_profile_sql("documents", "text"),
+        "numeric_profile_quantity": _numeric_profile_sql("lineitem", "l_quantity"),
+        "numeric_profile_acctbal": _numeric_profile_sql("customer", "c_acctbal"),
+        "enum_orderpriority": """
+            SELECT count(DISTINCT o_orderpriority)::BIGINT AS n_distinct,
+                   CASE WHEN count(DISTINCT o_orderpriority) <= 8
+                        THEN array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+                        END AS enum_csv
+            FROM orders
+        """,
+        "enum_over_cardinality": """
+            SELECT count(DISTINCT event_type)::BIGINT AS n_distinct,
+                   CASE WHEN count(DISTINCT event_type) <= 3
+                        THEN array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                        END AS enum_csv
+            FROM events
+        """,
+        "duplicate_keys_source": """
+            WITH keys AS (
+              SELECT DISTINCT source AS k FROM documents
+              WHERE source IS NOT NULL AND length(source) > 3)
+            SELECT DISTINCT least(a.k, b.k) AS key_a, greatest(a.k, b.k) AS key_b
+            FROM keys a CROSS JOIN keys b
+            WHERE a.k <> b.k
+              AND levenshtein(lower(regexp_replace(a.k, '[-_]', '', 'g')),
+                              lower(regexp_replace(b.k, '[-_]', '', 'g'))) <= 1
+            ORDER BY key_a, key_b
+        """,
+        "segment_props": """
+            WITH seg AS (
+              SELECT CASE WHEN json_extract_string(props, '$.k') IS NULL
+                            OR trim(json_extract_string(props, '$.k')) = ''
+                          THEN 'unmatched'
+                          ELSE regexp_replace(
+                                 substring(json_extract_string(props, '$.k'), 1, 30),
+                                 '[^a-zA-Z0-9.-]', '_', 'g') END AS segment
+              FROM events)
+            SELECT segment, count(*)::BIGINT AS n FROM seg
+            GROUP BY segment ORDER BY segment
+        """,
+        "latest_event_per_user": """
+            -- floor() matches Spark's truncating timestamp->long cast
+            SELECT user_id, event_id, event_type,
+                   floor(epoch(ts))::BIGINT AS ts_epoch
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "uniqueness_orders": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+                   (count(*) - count(DISTINCT o_orderkey))::BIGINT AS n_duplicates,
+                   count(*) = count(DISTINCT o_orderkey) AS is_unique
+            FROM orders
+        """,
+        "uniqueness_lineitem_pk": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   count(DISTINCT (l_orderkey, l_linenumber))::BIGINT AS n_distinct,
+                   (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT AS n_duplicates,
+                   count(*) = count(DISTINCT (l_orderkey, l_linenumber)) AS is_unique
+            FROM lineitem
+        """,
+        "ri_orders_customer": """
+            SELECT o_custkey, count(*)::BIGINT AS n_orphan_rows
+            FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+            GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "duplicate_rows_events_user": """
+            SELECT user_id, count(*)::BIGINT AS n_occurrences
+            FROM events GROUP BY user_id HAVING count(*) > 1
+            ORDER BY user_id
+        """,
+        "psi_price_returnflag": _psi_sql("lineitem", "l_extendedprice",
+                                         "l_returnflag", "R", "N"),
+        "ks_quantity_linestatus": """
+            WITH per_value AS (
+              SELECT l_quantity AS v,
+                     sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS d1,
+                     sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS d2
+              FROM lineitem
+              WHERE l_linestatus IN ('O','F') AND l_quantity IS NOT NULL
+              GROUP BY 1),
+            counts AS (SELECT sum(d1) AS n1, sum(d2) AS n2 FROM per_value),
+            cdfs AS (
+              SELECT sum(d1) OVER (ORDER BY v) AS c1,
+                     sum(d2) OVER (ORDER BY v) AS c2
+              FROM per_value)
+            SELECT round(max(abs(c1 / n1 - c2 / n2)), 6) AS ks_stat
+            FROM cdfs, counts
+        """,
+        "snakify_mktsegment": """
+            SELECT raw, lower(regexp_replace(raw, '([^A-Z_])([A-Z])', '\\1_\\2', 'g')) AS snake
+            FROM (SELECT DISTINCT c_mktsegment AS raw FROM customer)
+            ORDER BY raw
+        """,
+        # infer_props_schema / infer_by_event_type: recursive merge state,
+        # not SQL-expressible -> rows-only check (SURVEY.md §2 A1/A8).
+    }

@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is forced with a noop sink (full execution, no driver
+collect overhead). ``value`` is total wall-clock over all queries;
+``files_per_sec`` reports validated docs/sec for the schema-inference
+flagship (the BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from schema_guru_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark("sgs-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+
+    queries = entry.queries()
+    bench_names = [
+        "infer_props_schema",
+        "infer_by_event_type",
+        "string_profile_doc_text",
+        "string_profile_cname",
+        "numeric_profile_quantity",
+        "enum_orderpriority",
+        "duplicate_keys_source",
+        "segment_props",
+        "latest_event_per_user",
+        "uniqueness_lineitem_pk",
+        "ri_orders_customer",
+        "psi_price_returnflag",
+        "ks_quantity_linestatus",
+    ]
+    timings: dict[str, float] = {}
+    n_docs = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    # warm the JVM + parquet footers once with a trivial action
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).count()
+
+    total = 0.0
+    for name in bench_names:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        _force(queries[name](spark, SF_DIR))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    infer_sec = timings.get("infer_props_schema", float("nan"))
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "files_per_sec": round(n_docs / infer_sec, 1) if infer_sec else None,
+        "n_docs": n_docs,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

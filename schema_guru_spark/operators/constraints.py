@@ -1,0 +1,202 @@
+"""Second-pass constraint suite — uniqueness, referential integrity,
+distribution drift (north_rule extensions; no reference counterpart,
+semantics from BASELINE.json — SURVEY.md §2 'Similarity / join-like ops'
+note).
+
+All built-in Spark: HLL++ via approx_count_distinct, broadcast anti-joins,
+window-function CDFs. Scale notes per operator inline.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def uniqueness_exact(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Exact uniqueness of a key tuple: one row
+    (n_rows, n_distinct, n_duplicates, is_unique).
+
+    count(distinct struct) is a two-stage hash aggregate with partial
+    combine; no collect. At 100 TB prefer ``uniqueness_hll`` as the cheap
+    screen and this as the confirmation pass.
+    """
+    kc = F.struct(*[F.col(k) for k in keys])
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(kc).alias("n_distinct"),
+    ).select(
+        "n_rows", "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).alias("n_duplicates"),
+        (F.col("n_rows") == F.col("n_distinct")).alias("is_unique"),
+    )
+
+
+def uniqueness_hll(df: DataFrame, keys: Sequence[str], rsd: float = 0.02,
+                   tolerance: float = 0.05) -> DataFrame:
+    """HLL++ vs exact uniqueness screen (north_rule): approx distinct in
+    the SAME single aggregate as the exact count; emits the relative gap
+    and a pass flag. One pass, no shuffle beyond the aggregate."""
+    kc = F.struct(*[F.col(k) for k in keys])
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(kc).alias("n_exact"),
+        F.approx_count_distinct(kc, rsd).alias("n_approx"),
+    ).select(
+        "n_rows", "n_exact", "n_approx",
+        (F.abs(F.col("n_approx") - F.col("n_exact")) /
+         F.greatest(F.col("n_exact"), F.lit(1))).alias("rel_err"),
+        ((F.abs(F.col("n_approx") - F.col("n_exact")) /
+          F.greatest(F.col("n_exact"), F.lit(1))) <= tolerance).alias("hll_ok"),
+    )
+
+
+def duplicate_key_rows(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Violation rows: key tuples appearing more than once, with their
+    multiplicity. groupBy(keys) shuffles on the keys — at scale, skewed
+    hot keys are handled by AQE skew mitigation; output is only the
+    violating tuples."""
+    return (df.groupBy(*keys)
+              .agg(F.count(F.lit(1)).alias("n_occurrences"))
+              .where(F.col("n_occurrences") > 1)
+              .orderBy(*keys))
+
+
+def referential_violations(facts: DataFrame, dims: DataFrame,
+                           fk: str, pk: str) -> DataFrame:
+    """Referential integrity: fact rows whose FK has no matching dim PK.
+    Broadcast LEFT ANTI join — the dimension is broadcast to every
+    executor, so the fact table is never shuffled (the whole point at
+    100 TB: one scan, zero exchange of the big side)."""
+    dim_keys = dims.select(F.col(pk).alias(fk)).distinct()
+    return facts.join(F.broadcast(dim_keys), on=fk, how="left_anti")
+
+
+def orphan_key_counts(facts: DataFrame, dims: DataFrame,
+                      fk: str, pk: str) -> DataFrame:
+    """Aggregated RI violations: orphan FK values + how many fact rows
+    reference them (compact violation summary for the verdict table)."""
+    return (referential_violations(facts, dims, fk, pk)
+            .groupBy(fk).agg(F.count(F.lit(1)).alias("n_orphan_rows"))
+            .orderBy(fk))
+
+
+def psi(df: DataFrame, value_col: str, group_col: str,
+        baseline, target, n_bins: int = 10) -> DataFrame:
+    """Population Stability Index between two groups' distributions of a
+    numeric column, on fixed-width bins over the GLOBAL [min, max].
+
+    PSI = Σ (p_t - p_b) · ln(p_t / p_b), with Laplace-smoothed
+    proportions so empty bins don't blow up. Two passes: a tiny global
+    min/max aggregate (crossJoin of a 1-row frame — broadcast), then one
+    groupBy(bin). Deterministic: exact counts, fixed bins; result rounded
+    to 6 decimals for cross-engine comparison.
+    """
+    c = F.col(value_col)
+    sub = df.where(F.col(group_col).isin([baseline, target]) & c.isNotNull())
+    bounds = sub.agg(F.min(c).alias("lo"), F.max(c).alias("hi"))
+    binned = (
+        sub.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((c - F.col("lo")) /
+                        ((F.col("hi") - F.col("lo")) / n_bins + 1e-12)).cast("int"),
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col(group_col) == baseline, 1).otherwise(0)).alias("nb"),
+            F.sum(F.when(F.col(group_col) == target, 1).otherwise(0)).alias("nt"),
+        )
+    )
+    tot = binned.agg(F.sum("nb").alias("tb"), F.sum("nt").alias("tt"))
+    terms = (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            ((F.col("nb") + 0.5) / (F.col("tb") + 0.5 * n_bins)).alias("pb"),
+            ((F.col("nt") + 0.5) / (F.col("tt") + 0.5 * n_bins)).alias("pt"),
+        )
+        .select(((F.col("pt") - F.col("pb")) * F.log(F.col("pt") / F.col("pb")))
+                .alias("term"))
+    )
+    return terms.agg(F.round(F.sum("term"), 6).alias("psi"))
+
+
+def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
+                  g1, g2) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic: max |CDF₁ - CDF₂| over the
+    pooled sample, computed with window functions (rank-based — no
+    sketches needed for exactness; for 100 TB swap in percentile_approx
+    t-digest cut-points and compare sketch CDFs — see drift_verdict).
+
+    Tie-correct: counts are aggregated PER DISTINCT VALUE first (the CDF
+    is only evaluated at jump points), so the window runs over the tiny
+    (value, n1, n2) frame, not the raw rows — one shuffle on value, then
+    an ordered scan of |distinct values| rows. For continuous data at
+    100 TB where |distinct| is unbounded, substitute percentile_approx
+    cut-points (t-digest) and compare sketch CDFs. Result rounded to 6
+    decimals.
+    """
+    c = F.col(value_col)
+    sub = (df.where(F.col(group_col).isin([g1, g2]) & c.isNotNull())
+             .select(c.alias("v"), F.col(group_col).alias("g")))
+    per_value = sub.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == g1, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("g") == g2, 1).otherwise(0)).alias("d2"),
+    )
+    counts = per_value.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdfs = (
+        per_value
+        .withColumn("c1", F.sum("d1").over(w))
+        .withColumn("c2", F.sum("d2").over(w))
+        .crossJoin(F.broadcast(counts))
+        .select((F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2")))
+                .alias("gap"))
+    )
+    return cdfs.agg(F.round(F.max("gap"), 6).alias("ks_stat"))
+
+
+def drift_by_partition(df: DataFrame, value_col: str, part_col: str,
+                       n_bins: int = 10) -> DataFrame:
+    """Per-partition drift vs the global distribution: PSI of each
+    partition's histogram against the all-partitions histogram, in ONE
+    groupBy(partition, bin) pass + a broadcast of the tiny global
+    histogram. This is the scale path (no per-partition jobs)."""
+    c = F.col(value_col)
+    sub = df.where(c.isNotNull())
+    bounds = sub.agg(F.min(c).alias("lo"), F.max(c).alias("hi"))
+    binned = (
+        sub.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((c - F.col("lo")) /
+                        ((F.col("hi") - F.col("lo")) / n_bins + 1e-12)).cast("int"),
+            ),
+        )
+        .groupBy(part_col, "bin").agg(F.count(F.lit(1)).alias("n"))
+    )
+    glob = binned.groupBy("bin").agg(F.sum("n").alias("gn"))
+    gtot = glob.agg(F.sum("gn").alias("gt"))
+    ptot = binned.groupBy(part_col).agg(F.sum("n").alias("pt_n"))
+    terms = (
+        binned.join(F.broadcast(glob), "bin")
+        .join(F.broadcast(gtot.crossJoin(ptot)), part_col)
+        .select(
+            part_col,
+            ((F.col("n") + 0.5) / (F.col("pt_n") + 0.5 * n_bins)).alias("pp"),
+            ((F.col("gn") + 0.5) / (F.col("gt") + 0.5 * n_bins)).alias("pg"),
+        )
+        .select(part_col,
+                ((F.col("pp") - F.col("pg")) * F.log(F.col("pp") / F.col("pg")))
+                .alias("term"))
+    )
+    return (terms.groupBy(part_col)
+            .agg(F.round(F.sum("term"), 6).alias("psi"))
+            .orderBy(part_col))

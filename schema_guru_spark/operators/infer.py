@@ -1,0 +1,205 @@
+"""Distributed schema inference — the engine's core custom aggregation.
+
+Reference lifecycle (SURVEY.md §3.1): RDD[JValue] -> map(jsonToSchema) ->
+RDD.reduce(_.merge(_)) -> transforms on the driver
+(SchemaGuruRDD.scala:45-102). The recursive merge state cannot be a Spark
+SQL aggregate (no recursive types), so the idiomatic Spark shape is:
+
+  1. ONE pass over the data with ``mapInPandas`` (Arrow-batched): each
+     task derives micro-schemas per document and folds them into a single
+     per-partition state — map-side combine, the moral equivalent of
+     ``treeAggregate``'s seqOp. Parse/derive errors are emitted as
+     violation ROWS in the same pass (fixing the reference's double
+     traversal, SchemaGuruRDD.scala:49, and driver-side errors.collect,
+     SchemaDerive.scala:98).
+  2. The per-partition states (one tiny JSON row per task) are combined:
+     intermediate fan-in rounds while the row count is large, then a
+     final driver-side fold. At 1000 executors / 100k partitions the
+     state rows total a few MB — the combine is never the bottleneck;
+     the single data pass is.
+
+Segmented (per-key) inference uses the same partial state with a salted
+two-phase groupBy: (key, salt) partial -> (key) final, so a single hot
+key (mega-group) is split across ``n_salts`` tasks before the final
+cheap state-merge — replacing the reference's RDD.groupBy that ships
+whole groups to single tasks (JsonPathExtractorRDD.scala:74).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from schema_guru_spark.core.context import SchemaContext
+from schema_guru_spark.core.microschema import ZERO, derive, dumps, loads, merge
+from schema_guru_spark.core.transforms import apply_transforms, extract_keys
+from schema_guru_spark.core.levenshtein import get_duplicates
+
+_OUT_SCHEMA = "kind string, payload string, n_ok bigint, n_err bigint"
+_STATE_KIND, _VIOLATION_KIND = "s", "v"
+
+
+def _derive_partial(ctx: SchemaContext, column: str):
+    """Build the mapInPandas function: per-task derive+fold, single pass,
+    violations streamed out as rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = ZERO
+        n_ok = 0
+        n_err = 0
+        for pdf in batches:
+            errs = []
+            for text in pdf[column]:
+                if text is None:
+                    n_err += 1
+                    errs.append("null content")
+                    continue
+                try:
+                    value = json.loads(text)
+                except (ValueError, TypeError) as e:
+                    n_err += 1
+                    errs.append(f"invalid JSON: {e}")
+                    continue
+                sch, err = derive(value, ctx)
+                if err is not None:
+                    n_err += 1
+                    errs.append(err)
+                else:
+                    acc = merge(acc, sch, ctx)
+                    n_ok += 1
+            if errs:
+                yield pd.DataFrame({
+                    "kind": _VIOLATION_KIND, "payload": errs,
+                    "n_ok": 0, "n_err": 1,
+                })
+        yield pd.DataFrame({
+            "kind": [_STATE_KIND], "payload": [dumps(acc)],
+            "n_ok": [n_ok], "n_err": [n_err],
+        })
+
+    return fn
+
+
+def _state_combiner(ctx: SchemaContext):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = ZERO
+        n_ok = 0
+        n_err = 0
+        for pdf in batches:
+            for payload, ok, err in zip(pdf["payload"], pdf["n_ok"], pdf["n_err"]):
+                acc = merge(acc, loads(payload), ctx)
+                n_ok += int(ok)
+                n_err += int(err)
+        yield pd.DataFrame({
+            "kind": [_STATE_KIND], "payload": [dumps(acc)],
+            "n_ok": [n_ok], "n_err": [n_err],
+        })
+
+    return fn
+
+
+@dataclass
+class InferResult:
+    """Merged schema state + counters + violations as a DataFrame sink."""
+
+    state: dict
+    n_ok: int
+    n_err: int
+    violations: DataFrame
+
+    def schema(self, ctx: SchemaContext) -> dict:
+        """Final JSON Schema (transform passes applied, SchemaGuru.scala:74-78)."""
+        from schema_guru_spark.core.microschema import render
+        return render(apply_transforms(self.state, ctx), ctx)
+
+    def duplicated_keys(self) -> set:
+        """Levenshtein near-duplicate warning over the merged tree
+        (SchemaGuruRDD.scala:99)."""
+        return get_duplicates(extract_keys(self.state))
+
+
+def infer_json_column(df: DataFrame, column: str, ctx: SchemaContext,
+                      fanin: int = 64) -> InferResult:
+    """Infer one merged schema for a JSON-bearing string column.
+
+    Single distributed pass + logarithmic state combine. ``fanin``
+    controls intermediate combine rounds: with P partial states, rounds
+    run while P > fanin, each shrinking P by ``fanin``×.
+    """
+    spark = df.sparkSession
+    raw = df.select(column).mapInPandas(_derive_partial(ctx, column), _OUT_SCHEMA)
+    raw = raw.persist()
+    violations = raw.filter(F.col("kind") == _VIOLATION_KIND) \
+                    .select(F.col("payload").alias("error"))
+
+    states = raw.filter(F.col("kind") == _STATE_KIND)
+    # intermediate tree-combine rounds executor-side
+    n = df.rdd.getNumPartitions()
+    while n > fanin:
+        n = max(1, math.ceil(n / fanin))
+        states = states.repartition(n).mapInPandas(_state_combiner(ctx), _OUT_SCHEMA)
+
+    acc, n_ok, n_err = ZERO, 0, 0
+    for row in states.collect():
+        acc = merge(acc, loads(row["payload"]), ctx)
+        n_ok += row["n_ok"]
+        n_err += row["n_err"]
+    return InferResult(acc, n_ok, n_err, violations)
+
+
+def infer_json_column_by_key(df: DataFrame, column: str, key_col: str,
+                             ctx: SchemaContext, n_salts: int = 8) -> DataFrame:
+    """Per-key (segmented) schema inference — G1/A8 of SURVEY.md §2.
+
+    Two-phase salted aggregation:
+      phase 1: groupBy(key, salt) -> partial state per (key, salt)
+      phase 2: groupBy(key)       -> merge the ≤ n_salts tiny states
+
+    Returns DataFrame(key string, schema string, n_ok long, n_err long)
+    where ``schema`` is the rendered JSON Schema (transforms applied).
+    """
+    part_schema = f"{key_col} string, payload string, n_ok bigint, n_err bigint"
+
+    def phase1(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc, n_ok, n_err = ZERO, 0, 0
+        for text in pdf[column]:
+            try:
+                value = json.loads(text) if text is not None else None
+                if value is None:
+                    raise ValueError("null content")
+            except (ValueError, TypeError):
+                n_err += 1
+                continue
+            sch, err = derive(value, ctx)
+            if err is not None:
+                n_err += 1
+            else:
+                acc = merge(acc, sch, ctx)
+                n_ok += 1
+        return pd.DataFrame({key_col: [key[0]], "payload": [dumps(acc)],
+                             "n_ok": [n_ok], "n_err": [n_err]})
+
+    def phase2(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc, n_ok, n_err = ZERO, 0, 0
+        for payload, ok, err in zip(pdf["payload"], pdf["n_ok"], pdf["n_err"]):
+            acc = merge(acc, loads(payload), ctx)
+            n_ok += int(ok)
+            n_err += int(err)
+        from schema_guru_spark.core.microschema import render
+        rendered = render(apply_transforms(acc, ctx), ctx)
+        return pd.DataFrame({
+            key_col: [key[0]],
+            "schema": [json.dumps(rendered, sort_keys=True)],
+            "n_ok": [n_ok], "n_err": [n_err],
+        })
+
+    salted = df.select(key_col, column).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(column)), F.lit(n_salts)))
+    partial = salted.groupBy(key_col, "_salt").applyInPandas(phase1, part_schema)
+    return partial.groupBy(key_col).applyInPandas(
+        phase2, f"{key_col} string, schema string, n_ok bigint, n_err bigint")

@@ -1,0 +1,163 @@
+"""Flat-column statistics — the Catalyst-native face of schema inference.
+
+Each operator is the flat-column analog of a reference behavior
+(SURVEY.md §2 mapping): string annotation (D2-D8) becomes native
+length/regexp aggregates; integer encasing (T1) a CASE over min/max;
+enum candidates (E1) a bounded distinct; Levenshtein key duplicates
+(J1/J2) a cross join over DISTINCT keys with built-in ``levenshtein``.
+
+Everything here is pure DataFrame API — whole-stage-codegen'd JVM
+expressions, no Python in the hot path — so filters and projections push
+down to the parquet/Iceberg scan and all aggregates get map-side partial
+combine for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from schema_guru_spark.core.transforms import (
+    INT16_MAX, INT16_MIN, INT32_MAX, INT32_MIN, INT64_MAX, INT64_MIN,
+)
+
+# Cross-engine (Spark RLIKE / DuckDB regexp_matches) format regexes.
+# Shape-only date-time check for engine parity; the kernel's detectors
+# (core/formats.py) additionally validate the calendar.
+UUID_SQL_RE = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+IPV4_SQL_RE = r"^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$"
+URI_SQL_RE = r"^(https?|ftp)://[A-Za-z0-9.-]+\.[A-Za-z]{2,}(:[0-9]+)?(/[^ ]*)?$"
+DATETIME_SQL_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?(Z|[+-][0-9]{2}:?[0-9]{2})?$"
+
+
+def string_profile(df: DataFrame, column: str) -> DataFrame:
+    """Per-column string stats: the flat analog of StringSchema merge
+    (A2, StringSchema.scala:47-57) + format detection counts (D3-D8).
+
+    One hash-aggregate, partial+final phases by Catalyst.
+    """
+    c = F.col(column)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(c).alias("n_present"),
+        F.min(F.length(c)).alias("min_len"),
+        F.max(F.length(c)).alias("max_len"),
+        F.count_distinct(c).alias("n_distinct"),
+        F.sum(F.when(c.rlike(UUID_SQL_RE), 1).otherwise(0)).alias("n_uuid"),
+        F.sum(F.when(c.rlike(IPV4_SQL_RE), 1).otherwise(0)).alias("n_ipv4"),
+        F.sum(F.when(c.rlike(URI_SQL_RE), 1).otherwise(0)).alias("n_uri"),
+        F.sum(F.when(c.rlike(DATETIME_SQL_RE), 1).otherwise(0)).alias("n_datetime"),
+    )
+
+
+def numeric_profile(df: DataFrame, column: str) -> DataFrame:
+    """Numeric min/max/count + the Int16/32/64 encasing of the observed
+    range (T1, Helpers.scala:151-201) as a CASE expression."""
+    c = F.col(column)
+    mn, mx = F.min(c), F.max(c)
+    encased_min = (
+        F.when((mn >= 0) & (mx <= INT16_MAX), F.lit(0))
+        .when((mn >= INT16_MIN) & (mx <= INT16_MAX), F.lit(INT16_MIN))
+        .when((mn >= 0) & (mx <= INT32_MAX), F.lit(0))
+        .when((mn >= INT32_MIN) & (mx <= INT32_MAX), F.lit(INT32_MIN))
+        .when(mn >= 0, F.lit(0))
+        .otherwise(F.lit(INT64_MIN))
+    )
+    encased_max = (
+        F.when((mn >= 0) & (mx <= INT16_MAX), F.lit(INT16_MAX))
+        .when((mn >= INT16_MIN) & (mx <= INT16_MAX), F.lit(INT16_MAX))
+        .when((mn >= 0) & (mx <= INT32_MAX), F.lit(INT32_MAX))
+        .when((mn >= INT32_MIN) & (mx <= INT32_MAX), F.lit(INT32_MAX))
+        .otherwise(F.lit(INT64_MAX))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(c).alias("n_present"),
+        mn.cast("double").alias("min_val"),
+        mx.cast("double").alias("max_val"),
+        encased_min.cast("bigint").alias("encased_min"),
+        encased_max.cast("bigint").alias("encased_max"),
+    )
+
+
+def enum_candidates(df: DataFrame, column: str, cardinality: int) -> DataFrame:
+    """Flat analog of E1 (SchemaWithEnum.scala:57-70): keep the value set
+    iff its size is within cardinality, else tombstone (NULL).
+
+    Sorted for determinism. collect_set is bounded here by construction:
+    the count_distinct gate runs in the same aggregate.
+    """
+    c = F.col(column)
+    agg = df.agg(
+        F.count_distinct(c).alias("n_distinct"),
+        F.array_sort(F.collect_set(c)).alias("values"),
+    )
+    return agg.select(
+        "n_distinct",
+        F.when(F.col("n_distinct") <= cardinality, F.col("values"))
+         .otherwise(F.lit(None)).alias("enum"),
+    )
+
+
+def duplicate_keys(df: DataFrame, column: str) -> DataFrame:
+    """Levenshtein near-duplicate detection over the DISTINCT values of a
+    column — J1+J2 (LevenshteinAnnotator.scala:39-114) as a DataFrame op:
+    uniform (strip -_ and lowercase), cross join distinct keys (small by
+    construction — keys, not rows), distance <= 1, canonical (least,
+    greatest) pair order.
+
+    The distinct() collapses the input to the key set BEFORE the cross
+    join, so the quadratic blowup is |keys|², never |rows|².
+    """
+    keys = (df.select(F.col(column).alias("k")).where(F.col("k").isNotNull())
+              .distinct()
+              .where(F.length("k") > 3)).persist()
+    keys.count()  # materialize once: the cross join would otherwise re-scan
+    a = keys.select(F.col("k").alias("a"))
+    b = keys.select(F.col("k").alias("b"))
+    uniform = lambda c: F.lower(F.regexp_replace(c, "[-_]", ""))  # noqa: E731
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a") != F.col("b"))
+        .where(F.levenshtein(uniform(F.col("a")), uniform(F.col("b"))) <= 1)
+        .select(F.least("a", "b").alias("key_a"), F.greatest("a", "b").alias("key_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def group_with_latest(df: DataFrame, group_cols: list, order_cols: list) -> DataFrame:
+    """G3 (DdlCommand.scala:374-389): per group keep the row with the max
+    ordering tuple — window row_number, no self-join."""
+    w = Window.partitionBy(*group_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1)
+              .drop("_rn"))
+
+
+def keys_diff(current: DataFrame, previous: DataFrame, col: str) -> DataFrame:
+    """SET1/SET2 (Migrations.scala:106,117-122): keys present in
+    ``current`` but not ``previous``."""
+    return (current.select(F.col(col).alias("key")).distinct()
+            .exceptAll(previous.select(F.col(col).alias("key")).distinct()))
+
+
+def segment_counts(df: DataFrame, json_col: str, json_path: str) -> DataFrame:
+    """G1 (JsonPathExtractorRDD.scala:53-88): JSONPath extract + key
+    normalization (slice 30 chars, [^a-zA-Z0-9.-] -> _, null/empty ->
+    'unmatched') + group counts. Pure built-ins: get_json_object +
+    regexp_replace + substring."""
+    raw = F.get_json_object(F.col(json_col), json_path)
+    key = F.when(
+        raw.isNull() | (F.trim(raw) == ""), F.lit("unmatched")
+    ).otherwise(
+        F.regexp_replace(F.substring(raw, 1, 30), "[^a-zA-Z0-9.-]", "_")
+    )
+    return (df.withColumn("segment", key)
+              .groupBy("segment").agg(F.count(F.lit(1)).alias("n"))
+              .orderBy("segment"))
+
+
+def snakify(col):
+    """F4 (DdlCommand.scala:349): camelCase -> snake_case as an expression."""
+    return F.lower(F.regexp_replace(col, "([^A-Z_])([A-Z])", r"$1_$2"))

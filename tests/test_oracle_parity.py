@@ -1,0 +1,75 @@
+"""Mimics the driver's correctness gate: run every queries() entry on
+Spark AND its oracle_sql() on DuckDB at sf0.01, compare row count, column
+names, and order-insensitive values."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _canon(val):
+    if val is None:
+        return "~null~"
+    if isinstance(val, bool):
+        return str(val).lower()
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "nan"
+        return f"{val:.9g}"
+    return str(val)
+
+
+def _rows_canon(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in idx) for r in rows)
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, ddb):
+    sdf = QUERIES[name](spark, SF)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = ddb.sql(ORACLES[name])
+    d_cols = [c for c in rel.columns]
+    d_rows = rel.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    assert _rows_canon(s_cols, s_rows) == _rows_canon(d_cols, d_rows), \
+        f"{name}: value mismatch"
+
+
+def test_all_queries_have_oracle_or_are_declared():
+    missing = set(QUERIES) - set(ORACLES)
+    # rows-only (non-SQL-expressible) ops — keep this list deliberate
+    assert missing == {"infer_props_schema", "infer_by_event_type"}
+
+
+def test_rows_only_queries_run(spark):
+    for name in set(QUERIES) - set(ORACLES):
+        df = QUERIES[name](spark, SF)
+        assert df.count() >= 1, name
