@@ -1,0 +1,93 @@
+"""Job entry point: validate a repo table end-to-end.
+
+Usage (spark-submit or plain python):
+
+    spark-submit --py-files schema_guru_spark.zip \
+        schema_guru_spark/run_validation.py \
+        --input /path/to/repo_table_parquet \
+        [--synthesize N_FILES] [--checkpoint DIR] [--buckets 64]
+        [--chunk-size 16] [--cpus 8] [--json-out out.json]
+
+Prints a one-line JSON report: rows validated, throughput (files/sec),
+bucket pass rate, violation counts, constraint report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None, help="parquet path of repo table")
+    ap.add_argument("--synthesize", type=int, default=0,
+                    help="generate N synthetic files instead of --input")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--salts", type=int, default=8)
+    ap.add_argument("--chunk-size", type=int, default=None)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args(argv)
+
+    from schema_guru_spark.session import get_spark
+    from schema_guru_spark.pipeline import constraint_report, validate_repo_table
+    from schema_guru_spark.sources.repo_table import synthesize_repo_table
+
+    spark = get_spark("sgs-validate", master=f"local[{args.cpus}]",
+                      shuffle_partitions=max(args.cpus, 8))
+
+    if args.synthesize:
+        df = synthesize_repo_table(spark, args.synthesize)
+    elif args.input:
+        df = spark.read.parquet(args.input)
+    else:
+        ap.error("need --input or --synthesize")
+
+    t0 = time.perf_counter()
+    res = validate_repo_table(spark, df, checkpoint_dir=args.checkpoint,
+                              n_buckets=args.buckets, n_salts=args.salts,
+                              chunk_size=args.chunk_size)
+    from pyspark.sql import functions as F
+    agg = res.verdicts.agg(
+        F.sum("n_rows").alias("rows"),
+        F.sum("n_json_ok").alias("json_ok"),
+        F.sum("n_json_err").alias("json_err"),
+        F.sum("n_sha_bad").alias("sha_bad"),
+        F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("passed"),
+        F.count(F.lit(1)).alias("buckets"),
+    ).collect()[0]
+    n_violations = res.violations.count()
+    dt = time.perf_counter() - t0
+
+    rep = constraint_report(spark, df, n_buckets=args.buckets,
+                            n_salts=args.salts)
+    out = {
+        "rows": agg["rows"], "json_ok": agg["json_ok"],
+        "json_err": agg["json_err"], "sha_bad": agg["sha_bad"],
+        "buckets": agg["buckets"], "buckets_passed": agg["passed"],
+        "pass_rate": round(agg["passed"] / max(agg["buckets"], 1), 4),
+        "n_violation_rows": n_violations,
+        "resumed_buckets": len(res.resumed_buckets),
+        "wall_sec": round(dt, 3),
+        "files_per_sec": round((agg["rows"] or 0) / dt, 1),
+        "cpus": args.cpus,
+        "constraints": rep,
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    return out
+
+
+if __name__ == "__main__":
+    main()

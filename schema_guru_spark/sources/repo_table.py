@@ -1,0 +1,103 @@
+"""Deterministic synthetic source-code repository table.
+
+Shape per BASELINE.json input_hint: (repo:string, path:string,
+commit:string, lang:string, content:string) — plus ``content_sha``, the
+reference sha256 carried with each row so the engine's per-row invariant
+``sha2(content, 256) == content_sha`` is checkable end-to-end.
+
+Fully distributed generation: every column is a deterministic Spark SQL
+expression over ``spark.range(n)`` — no driver-side data, no RNG state,
+so the same (n, seed) always produces byte-identical content at any
+parallelism. Skew is built in: ~30% of all files land in repo 0 (the
+"mega-repo"), exercising the salted-repartition path.
+
+Content mix:
+  lang == 'json'  (~40%): valid JSON metadata docs (nested object)
+  lang == 'json' + corrupt flag (~1% of json): truncated JSON (parse error)
+  other langs (py/java/go/md): source-code-ish text lines
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+LANGS = ("json", "py", "java", "go", "md")
+
+
+def synthesize_repo_table(spark: SparkSession, n_files: int,
+                          n_repos: int = 50, seed: int = 42) -> DataFrame:
+    df = spark.range(n_files).withColumn("_h", F.xxhash64("id", F.lit(seed)))
+    # skew: ~30% of rows to repo 0
+    repo_idx = (
+        F.when(F.pmod("_h", F.lit(10)) < 3, F.lit(0))
+        .otherwise(F.pmod(F.col("_h"), F.lit(n_repos)))
+    )
+    # weighted langs: json 4/10, py 2/10, java 2/10, go 1/10, md 1/10
+    lang = (
+        F.when(F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(10)) < 4, F.lit("json"))
+        .when(F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(10)) < 6, F.lit("py"))
+        .when(F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(10)) < 8, F.lit("java"))
+        .when(F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(10)) < 9, F.lit("go"))
+        .otherwise(F.lit("md"))
+    )
+    n = F.col("id")
+    json_content = F.format_string(
+        '{"name": "pkg-%d", "version": "1.%d.%d", "size": %d, '
+        '"uuid": "%08x-0000-4000-8000-000000000000", '
+        '"created": "2024-01-%02dT10:%02d:00Z", '
+        '"homepage": "https://example.com/pkg/%d", '
+        '"tags": ["t%d", "t%d"], '
+        '"meta": {"stars": %d, "forks": %d, "archived": %s}}',
+        n, F.pmod(n, F.lit(20)), F.pmod(n, F.lit(10)), F.pmod(n, F.lit(100000)),
+        F.pmod(n, F.lit(0xFFFFFFF)) + 1,
+        F.pmod(n, F.lit(28)) + 1, F.pmod(n, F.lit(60)),
+        n,
+        F.pmod(n, F.lit(7)), F.pmod(n, F.lit(5)),
+        F.pmod(n, F.lit(9999)), F.pmod(n, F.lit(999)),
+        F.when(F.pmod(n, F.lit(2)) == 0, F.lit("true")).otherwise(F.lit("false")),
+    )
+    # ~1% of json rows corrupt (truncated) -> parse-error violations
+    corrupt = F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(100)) == 0
+    code_content = F.format_string(
+        "def fn_%d(x):\n    return x * %d  # module %d\n"
+        "class C%d:\n    value = %d\n",
+        n, F.pmod(n, F.lit(17)) + 1, F.pmod(n, F.lit(31)),
+        F.pmod(n, F.lit(13)), F.pmod(n, F.lit(101)),
+    )
+    content = (
+        F.when(lang == "json",
+               F.when(corrupt, F.substring(json_content, 1, 40))
+               .otherwise(json_content))
+        .otherwise(code_content)
+    )
+    out = (
+        df.select(
+            F.format_string("org%d/repo%03d", F.pmod(repo_idx, F.lit(7)), repo_idx)
+             .alias("repo"),
+            F.format_string("src/%02d/file_%d.%s",
+                            F.pmod(n, F.lit(50)), n, lang).alias("path"),
+            F.sha2(F.concat(F.lit("commit"), n.cast("string"),
+                            F.lit(seed).cast("string")), 256).substr(1, 40)
+             .alias("commit"),
+            lang.alias("lang"),
+            content.alias("content"),
+        )
+        .withColumn("content_sha", F.sha2("content", 256))
+    )
+    return out
+
+
+def write_repo_table(spark: SparkSession, path: str, n_files: int,
+                     n_repos: int = 50, seed: int = 42,
+                     corrupt_shas: int = 0) -> None:
+    """Materialize to parquet. ``corrupt_shas`` > 0 flips the recorded
+    sha on that many deterministic rows (invariant-violation fixtures)."""
+    df = synthesize_repo_table(spark, n_files, n_repos, seed)
+    if corrupt_shas:
+        bad = F.xxhash64("path") % (n_files // max(corrupt_shas, 1)) == 0
+        df = df.withColumn(
+            "content_sha",
+            F.when(bad, F.sha2(F.concat(F.col("content"), F.lit("x")), 256))
+            .otherwise(F.col("content_sha")),
+        )
+    df.write.mode("overwrite").parquet(path)

@@ -1,0 +1,121 @@
+"""End-to-end repo-table validation: synthesis, verdicts, violations,
+sha256 invariant, checkpoint/resume."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_guru_spark.pipeline import (
+    bucket_expr, constraint_report, validate_repo_table,
+)
+from schema_guru_spark.plans.checkpoint import CheckpointManager
+from schema_guru_spark.sources.repo_table import synthesize_repo_table
+
+N_FILES = 2000
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def repo_df(spark):
+    return synthesize_repo_table(spark, N_FILES, n_repos=20).cache()
+
+
+def test_synthesis_deterministic(spark, repo_df):
+    again = synthesize_repo_table(spark, N_FILES, n_repos=20)
+    a = sorted(tuple(r) for r in repo_df.collect())
+    b = sorted(tuple(r) for r in again.collect())
+    assert a == b
+    assert repo_df.columns == ["repo", "path", "commit", "lang", "content",
+                               "content_sha"]
+
+
+def test_synthesis_skew(repo_df):
+    top = (repo_df.groupBy("repo").count().orderBy(F.desc("count"))
+           .first())
+    # mega-repo: ~30% of rows
+    assert top["count"] > 0.2 * N_FILES
+
+
+def test_validate_basic(spark, repo_df):
+    res = validate_repo_table(spark, repo_df, n_buckets=N_BUCKETS)
+    verd = res.verdicts.collect()
+    assert len(verd) == N_BUCKETS
+    total_rows = sum(r["n_rows"] for r in verd)
+    assert total_rows == N_FILES
+    # ~1% of json rows are deliberately truncated -> parse errors
+    total_err = sum(r["n_json_err"] for r in verd)
+    assert total_err > 0
+    failed = [r for r in verd if not r["passed"]]
+    assert failed  # corrupt docs force bucket failures
+    # every bucket got a merged schema; valid buckets' schema has pkg keys
+    sch = json.loads(verd[0]["schema"])
+    assert sch.get("type") == "object"
+    props = sch["properties"]
+    assert props["uuid"]["format"] == "uuid"
+    assert props["created"]["format"] == "date-time"
+    assert props["homepage"]["format"] == "uri"
+    assert props["meta"]["properties"]["archived"]["type"] == "boolean"
+    # violations carry (repo, lang, bucket)
+    v = res.violations.collect()
+    assert len(v) == total_err
+    assert all(r["lang"] == "json" for r in v)
+
+
+def test_sha_invariant_violations(spark, tmp_path):
+    from schema_guru_spark.sources.repo_table import write_repo_table
+    p = str(tmp_path / "repo_bad")
+    write_repo_table(spark, p, 500, n_repos=5, corrupt_shas=10)
+    df = spark.read.parquet(p)
+    res = validate_repo_table(spark, df, n_buckets=4)
+    sha_bad = res.verdicts.agg(F.sum("n_sha_bad")).collect()[0][0]
+    assert sha_bad > 0
+    v = res.violations.where(F.col("detail") == "sha256 mismatch")
+    assert v.count() == sha_bad
+
+
+def test_checkpoint_resume(spark, repo_df, tmp_path):
+    ck = str(tmp_path / "ckpt")
+    # first run: only 2 chunks of 2 buckets => simulate partial completion
+    res1 = validate_repo_table(spark, repo_df, checkpoint_dir=ck,
+                               n_buckets=N_BUCKETS, chunk_size=3)
+    assert sorted(res1.processed_buckets) == list(range(N_BUCKETS))
+
+    # second run resumes: nothing left to do, results still visible
+    res2 = validate_repo_table(spark, repo_df, checkpoint_dir=ck,
+                               n_buckets=N_BUCKETS, chunk_size=3)
+    assert res2.processed_buckets == []
+    assert res2.resumed_buckets == list(range(N_BUCKETS))
+    assert res2.verdicts.select("bucket").distinct().count() == N_BUCKETS
+
+    mgr = CheckpointManager(spark, ck)
+    assert mgr.finished_buckets() == set(range(N_BUCKETS))
+
+
+def test_resume_skips_finished_work(spark, repo_df, tmp_path):
+    """Kill mid-run (emulated by pre-recording some buckets as done) ->
+    restart only processes the rest."""
+    ck = str(tmp_path / "ckpt2")
+    mgr = CheckpointManager(spark, ck)
+    mgr.record_done([{"bucket": b, "n_rows": 0, "n_ok": 0, "n_err": 0}
+                     for b in range(4)])
+    res = validate_repo_table(spark, repo_df, checkpoint_dir=ck,
+                              n_buckets=N_BUCKETS)
+    assert res.processed_buckets == [4, 5, 6, 7]
+    assert res.resumed_buckets == [0, 1, 2, 3]
+
+
+def test_bucket_salting_spreads_megarepo(spark, repo_df):
+    n_salts = 8
+    buckets = (repo_df.withColumn("b", bucket_expr(64, n_salts))
+               .where(F.col("repo").rlike("repo000"))
+               .select("b").distinct().count())
+    # the mega-repo spans ~n_salts buckets, not one
+    assert buckets >= n_salts // 2
+
+
+def test_constraint_report(spark, repo_df):
+    rep = constraint_report(spark, repo_df, n_buckets=N_BUCKETS)
+    assert rep["keys_unique"] is True
+    assert rep["hll_ok"] is True
+    assert rep["worst_bucket_psi"] < 0.25  # buckets are hash-uniform
