@@ -20,7 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from schema_guru_spark.core.context import SchemaContext
 from schema_guru_spark.operators import constraints as C
+from schema_guru_spark.operators import dedup as D
+from schema_guru_spark.operators import similarity as SIM
 from schema_guru_spark.operators import stats as S
+from schema_guru_spark.operators import textstats as TS
 from schema_guru_spark.operators.infer import (
     infer_json_column,
     infer_json_column_by_key,
@@ -141,6 +144,70 @@ def q_snakify_mktsegment(spark, sf):
              .orderBy("raw")
 
 
+# --- dedup / similarity / text analysis (training-data pipeline ops) ---
+
+def q_exact_dup_props(spark, sf):
+    return (D.exact_duplicates(_t(spark, sf, "events"), "props", "event_id")
+            .select("digest", "n").orderBy("digest"))
+
+
+def q_unigram_jaccard_docs(spark, sf):
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 60)
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.6)
+
+
+def q_token_stats_docs(spark, sf):
+    return TS.token_stats(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_lang_id_docs(spark, sf):
+    return TS.lang_id(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_quality_docs(spark, sf):
+    return TS.quality_scores(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_fingerprint_md5_docs(spark, sf):
+    return TS.fingerprints(_t(spark, sf, "documents"), "text", "doc_id") \
+             .select("id", "content_md5")
+
+
+def q_cosine_topk_embeddings(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return SIM.cosine_topk(emb, qvec, "embedding", "vec_id", k=20)
+
+
+def q_drift_price_by_returnflag(spark, sf):
+    return C.drift_by_partition(_t(spark, sf, "lineitem"),
+                                "l_extendedprice", "l_returnflag")
+
+
+# rows-only: LSH/banding pipelines (deterministic, not worth an oracle)
+
+def q_minhash_pairs_docs(spark, sf):
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", min_est_jaccard=0.8) \
+            .orderBy("id_a", "id_b")
+
+
+def q_simhash_fp_docs(spark, sf):
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return D.simhash_fingerprints(docs, "doc_id", "text").orderBy("id")
+
+
+def q_ivf_topk_embeddings(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return SIM.ivf_topk(emb, qvec, "embedding", "vec_id", k=10,
+                        n_centroids=8, n_probe=4)
+
+
+def q_fingerprint_winnow_docs(spark, sf):
+    return TS.fingerprints(_t(spark, sf, "documents"), "text", "doc_id")
+
+
 # --- non-SQL-expressible (recursive merge state): rows-only checks ---
 
 def q_infer_props_schema(spark, sf):
@@ -175,6 +242,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_price_returnflag": q_psi_price_returnflag,
         "ks_quantity_linestatus": q_ks_quantity_linestatus,
         "snakify_mktsegment": q_snakify_mktsegment,
+        "exact_dup_props": q_exact_dup_props,
+        "unigram_jaccard_docs": q_unigram_jaccard_docs,
+        "token_stats_docs": q_token_stats_docs,
+        "lang_id_docs": q_lang_id_docs,
+        "quality_docs": q_quality_docs,
+        "fingerprint_md5_docs": q_fingerprint_md5_docs,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "drift_price_by_returnflag": q_drift_price_by_returnflag,
+        "minhash_pairs_docs": q_minhash_pairs_docs,
+        "simhash_fp_docs": q_simhash_fp_docs,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "fingerprint_winnow_docs": q_fingerprint_winnow_docs,
         "infer_props_schema": q_infer_props_schema,
         "infer_by_event_type": q_infer_by_event_type,
     }
@@ -327,6 +406,125 @@ def oracle_sql() -> dict[str, str]:
         """,
         "psi_price_returnflag": _psi_sql("lineitem", "l_extendedprice",
                                          "l_returnflag", "R", "N"),
+        "exact_dup_props": """
+            SELECT md5(props) AS digest, count(*)::BIGINT AS n
+            FROM events GROUP BY 1 HAVING count(*) > 1 ORDER BY digest
+        """,
+        "unigram_jaccard_docs": r"""
+            WITH grams AS (
+              SELECT DISTINCT doc_id AS id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS ngram
+              FROM documents WHERE doc_id < 60),
+            sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+              FROM grams a JOIN grams b USING (ngram)
+              WHERE a.id < b.id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+            WHERE common / (sa.sz + sb.sz - common) >= 0.6
+            ORDER BY id_a, id_b
+        """,
+        "token_stats_docs": r"""
+            SELECT doc_id AS id,
+                   len(regexp_split_to_array(lower(trim(text)), '\s+'))::INT
+                     AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT AS n_bpe_tokens,
+                   length(text)::INT AS n_chars
+            FROM documents ORDER BY id
+        """,
+        "lang_id_docs": r"""
+            WITH w AS (
+              SELECT doc_id AS id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents),
+            h AS (
+              SELECT id,
+                len(list_intersect(words, ['der','die','das','und','ist','nicht','ein','mit','auf','zu']))::INT AS h_de,
+                len(list_intersect(words, ['the','and','of','to','a','in','is','it','for','on']))::INT AS h_en,
+                len(list_intersect(words, ['el','la','los','y','es','un','una','de','en','por']))::INT AS h_es,
+                len(list_intersect(words, ['le','la','les','et','est','un','une','des','dans','pour']))::INT AS h_fr
+              FROM w)
+            SELECT id, h_de, h_en, h_es, h_fr,
+              CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+                   WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                   WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                   WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                   ELSE 'fr' END AS lang_pred
+            FROM h ORDER BY id
+        """,
+        "quality_docs": r"""
+            WITH base AS (
+              SELECT doc_id AS id, text,
+                     length(text)::INT AS n_chars,
+                     len(regexp_split_to_array(lower(trim(text)), '\s+'))::INT AS n_words,
+                     len(regexp_extract_all(text, '[^\w\s]'))::BIGINT AS n_punct,
+                     len(list_intersect(
+                       regexp_split_to_array(lower(trim(text)), '\s+'),
+                       ['the','and','of','to','a','in','is','it','for','on']))::INT AS n_stop
+              FROM documents),
+            derived AS (
+              SELECT id, n_chars, n_words,
+                     round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+                     round(n_stop / 10, 6) AS stopword_hits,
+                     round((n_chars - (n_words - 1)) / greatest(n_words, 1), 6)
+                       AS mean_word_len,
+                     n_stop
+              FROM base)
+            SELECT id, n_chars, n_words, punct_ratio, stopword_hits,
+                   mean_word_len,
+                   round(
+                     0.25 * (CASE WHEN n_chars >= 50 AND n_chars <= 100000
+                                  THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (1 - least(punct_ratio * 4, 1.0))
+                   + 0.25 * (CASE WHEN n_stop >= 2 THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN mean_word_len >= 2.0
+                                   AND mean_word_len <= 12.0
+                                  THEN 1.0 ELSE 0.0 END), 6) AS quality
+            FROM derived ORDER BY id
+        """,
+        "fingerprint_md5_docs": r"""
+            SELECT doc_id AS id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                     AS content_md5
+            FROM documents ORDER BY id
+        """,
+        "cosine_topk_embeddings": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id AS id,
+                   round(list_inner_product(embedding::DOUBLE[], qv) /
+                         (sqrt(list_inner_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))
+                          * sqrt(list_inner_product(qv, qv)) + 1e-12), 6)
+                     AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, id ASC LIMIT 20
+        """,
+        "drift_price_by_returnflag": """
+            WITH sub AS (SELECT l_extendedprice AS v, l_returnflag AS p
+                         FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            bounds AS (SELECT min(v)::DOUBLE AS lo, max(v)::DOUBLE AS hi FROM sub),
+            binned AS (
+              SELECT p, least(9, floor((v - lo) / ((hi - lo) / 10 + 1e-12))::INT)
+                       AS bin,
+                     count(*)::BIGINT AS n
+              FROM sub, bounds GROUP BY 1, 2),
+            gl AS (SELECT bin, sum(n) AS gn FROM binned GROUP BY 1),
+            gtot AS (SELECT sum(gn) AS gt FROM gl),
+            ptot AS (SELECT p, sum(n) AS pt_n FROM binned GROUP BY 1),
+            terms AS (
+              SELECT b.p,
+                     ((b.n + 0.5) / (ptot.pt_n + 5.0)) AS pp,
+                     ((g.gn + 0.5) / (gtot.gt + 5.0)) AS pg
+              FROM binned b JOIN gl g USING (bin)
+              JOIN ptot ON ptot.p = b.p, gtot)
+            SELECT p AS l_returnflag, round(sum((pp - pg) * ln(pp / pg)), 6) AS psi
+            FROM terms GROUP BY 1 ORDER BY 1
+        """,
         "ks_quantity_linestatus": """
             WITH per_value AS (
               SELECT l_quantity AS v,

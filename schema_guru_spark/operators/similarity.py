@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — JVM-native (zip_with + aggregate
+dot product inside codegen; no Python, no UDF). The scan is
+embarrassingly parallel; top-k is a TakeOrdered (per-partition heap +
+driver merge of k·P candidates), which is exactly how you want it at
+100 TB.
+
+Scale path: IVF (inverted-file) — deterministic coarse centroids, each
+vector assigned to its nearest centroid ONCE (a write-time bucketing at
+scale); a query probes only the ``n_probe`` nearest centroid buckets,
+turning top-k into a partition-pruned scan of ~n_probe/C of the data.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(df: DataFrame, query: Sequence[float], vec_col: str,
+                id_col: str, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.col(vec_col).cast("array<double>")
+    cos = _dot(v, q) / (_norm(v) * _norm(q) + F.lit(1e-12))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.round(cos, 6).alias("cosine"))
+              .orderBy(F.desc("cosine"), F.asc("id"))
+              .limit(k))
+
+
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
+               n_centroids: int = 16) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF coarse quantizer.
+
+    Centroids: the vectors whose id ranks 0, s, 2s, ... under ordering
+    by id (a fixed, data-dependent but RNG-free choice — at real scale
+    replace with a k-means pass; the bucketing contract is identical).
+    Returns (assignments(id, centroid_id), centroids(centroid_id, cvec)).
+    Assignment is one broadcast nested-loop of |df| x C array ops — all
+    JVM; at write time this becomes the table's bucket column.
+    """
+    from pyspark.sql.window import Window
+    w = Window.orderBy("id")
+    ranked = df.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v")) \
+               .withColumn("rk", F.row_number().over(w) - 1)
+    n = ranked.count()
+    stride = max(n // n_centroids, 1)
+    centroids = (ranked.where((F.col("rk") % stride == 0) &
+                              (F.col("rk") / stride < n_centroids))
+                 .select((F.col("rk") / stride).cast("int").alias("centroid_id"),
+                         F.col("v").alias("cvec")))
+    joined = ranked.crossJoin(F.broadcast(centroids))
+    d2 = F.aggregate(F.zip_with("v", "cvec", lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    scored = joined.select("id", "centroid_id", d2.alias("d2"))
+    from pyspark.sql.window import Window as W2
+    best = W2.partitionBy("id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    assign = (scored.withColumn("rn", F.row_number().over(best))
+              .where(F.col("rn") == 1).select("id", "centroid_id"))
+    return assign, centroids
+
+
+def ivf_topk(df: DataFrame, query: Sequence[float], vec_col: str,
+             id_col: str, k: int = 10, n_centroids: int = 16,
+             n_probe: int = 4,
+             assignments: DataFrame | None = None,
+             centroids: DataFrame | None = None) -> DataFrame:
+    """IVF-probed cosine top-k: rank centroids by distance to the query
+    (driver-side — C is tiny), scan only the n_probe best buckets.
+
+    Pass precomputed (assignments, centroids) to amortize the quantizer
+    across queries — the at-scale usage (bucketed table layout).
+    """
+    if assignments is None or centroids is None:
+        assignments, centroids = ivf_assign(df, vec_col, id_col, n_centroids)
+    q = [float(x) for x in query]
+    cent_rows = centroids.collect()
+    def d2(c):  # driver-side: C rows
+        return sum((a - b) ** 2 for a, b in zip(c, q))
+    probe = sorted(cent_rows, key=lambda r: (d2(r["cvec"]), r["centroid_id"]))
+    probe_ids = [r["centroid_id"] for r in probe[:n_probe]]
+
+    sub = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+           .join(assignments, "id")
+           .where(F.col("centroid_id").isin(probe_ids)))
+    qa = F.array(*[F.lit(x) for x in q])
+    v = F.col("v").cast("array<double>")
+    cos = _dot(v, qa) / (_norm(v) * _norm(qa) + F.lit(1e-12))
+    return (sub.select("id", F.round(cos, 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("id"))
+            .limit(k))
+
+
+def pairwise_topk_join(left: DataFrame, right: DataFrame, vec_col: str,
+                       id_col: str, k: int = 5) -> DataFrame:
+    """k-NN join of two (small-ish) embedding sets: for each left id the
+    top-k right ids by cosine. Broadcast the smaller side; window top-k.
+    At 100 TB gate this behind IVF bucketing (join on centroid_id)."""
+    from pyspark.sql.window import Window
+    l = left.select(F.col(id_col).alias("id_l"),
+                    F.col(vec_col).cast("array<double>").alias("vl"))
+    r = right.select(F.col(id_col).alias("id_r"),
+                     F.col(vec_col).cast("array<double>").alias("vr"))
+    cos = _dot(F.col("vl"), F.col("vr")) / \
+        (_norm(F.col("vl")) * _norm(F.col("vr")) + F.lit(1e-12))
+    scored = l.crossJoin(F.broadcast(r)).select(
+        "id_l", "id_r", F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("id_l").orderBy(F.desc("cosine"), F.asc("id_r"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn")
+            .orderBy("id_l", F.desc("cosine"), "id_r"))

@@ -1,0 +1,55 @@
+"""Multimodal plumbing: typed binary columns, Arrow batch shapes,
+stubbed decode."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_guru_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    return MM.attach_fake_media(spark.range(20), "id")
+
+
+def test_media_schema(media_df):
+    f = dict(media_df.dtypes)["media"]
+    assert "data:binary" in f.replace(" ", "")
+    assert "width:int" in f.replace(" ", "")
+
+
+def test_decode_stub_raises_without_fake(media_df):
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception) as ei:
+        MM.decode_and_featurize(media_df, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "codecs" in str(ei.value)
+
+
+def test_fake_decode_shapes(media_df):
+    out = MM.decode_and_featurize(media_df, fake=True, resize_to=8)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["thumb"]) == 64
+        assert 0.0 <= r["mean_r"] <= 255.0
+    # deterministic across partitionings
+    rows2 = MM.decode_and_featurize(
+        MM.attach_fake_media(
+            media_df.sparkSession.range(20).repartition(5), "id"),
+        fake=True, resize_to=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, b"xx", "video", "mp4", 320, 240, 3500),
+         (2, b"yy", "image", "png", 64, 64, None)],
+        "id long, data binary, kind string, format string, "
+        "width int, height int, duration_ms int")
+    df = df.select("id", F.struct(
+        "data",
+        F.struct("kind", "format", "width", "height", "duration_ms").alias("meta"),
+    ).alias("media"))
+    out = MM.frame_sample_plan(df, every_ms=1000)
+    ms = [r["frame_ms"] for r in out.collect()]
+    assert ms == [0, 1000, 2000, 3000]

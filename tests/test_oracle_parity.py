@@ -66,7 +66,11 @@ def test_query_matches_oracle(name, spark, ddb):
 def test_all_queries_have_oracle_or_are_declared():
     missing = set(QUERIES) - set(ORACLES)
     # rows-only (non-SQL-expressible) ops — keep this list deliberate
-    assert missing == {"infer_props_schema", "infer_by_event_type"}
+    assert missing == {
+        "infer_props_schema", "infer_by_event_type",
+        "minhash_pairs_docs", "simhash_fp_docs", "ivf_topk_embeddings",
+        "fingerprint_winnow_docs",
+    }
 
 
 def test_rows_only_queries_run(spark):

@@ -1,0 +1,62 @@
+"""Text analysis operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_guru_spark.operators import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    rows = [
+        (1, "the quick brown fox is on the hill and it runs for fun"),
+        (2, "der Hund ist nicht auf der Straße und das Auto ist blau"),
+        (3, "le chat est dans la maison et les enfants sont pour toujours"),
+        (4, "xyzzy qwerty!!! ### $$$ %%%"),
+        (5, "el perro es un animal y la casa es de madera en por"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_token_stats(spark, sample):
+    out = {r["id"]: r for r in TS.token_stats(sample, "text", "id").collect()}
+    assert out[1]["n_ws_tokens"] == 13
+    assert out[1]["n_chars"] == len("the quick brown fox is on the hill and it runs for fun")
+    # BPE-ish: words + punct symbols each count
+    assert out[4]["n_bpe_tokens"] > out[4]["n_ws_tokens"]
+
+
+def test_lang_id(spark, sample):
+    out = {r["id"]: r["lang_pred"] for r in
+           TS.lang_id(sample, "text", "id").collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[5] == "es"
+    assert out[4] == "und"
+
+
+def test_quality_scores(spark, sample):
+    out = {r["id"]: r for r in
+           TS.quality_scores(sample, "text", "id").collect()}
+    assert out[1]["quality"] > out[4]["quality"]
+    assert 0.0 <= out[4]["quality"] <= 1.0
+    assert out[1]["stopword_hits"] > 0
+
+
+def test_fingerprints_stable_and_normalizing(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World  Foo"), (2, "hello world foo"), (3, "other text")],
+        ["id", "text"])
+    out = {r["id"]: r for r in TS.fingerprints(df, "text", "id").collect()}
+    # whitespace/case-normalized digests collide for 1 and 2
+    assert out[1]["content_md5"] == out[2]["content_md5"]
+    assert out[1]["winnow_min"] == out[2]["winnow_min"]
+    assert out[1]["content_md5"] != out[3]["content_md5"]
+
+
+def test_on_documents_table(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = TS.quality_scores(docs, "text", "doc_id")
+    n = q.where(F.col("quality").isNotNull()).count()
+    assert n == docs.count()
