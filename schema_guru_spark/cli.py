@@ -1,0 +1,102 @@
+"""CLI: the reference's ``schema-guru schema`` command, Spark-backed.
+
+    python -m schema_guru_spark.cli schema INPUT_DIR
+        [--output FILE] [--ndjson] [--enum-cardinality K]
+        [--enum-sets FILE ...] [--no-length] [--schema-by JSONPATH]
+        [--errors-path DIR] [--vendor V --name N] [--cpus N]
+
+Mirrors the reference CLI surface (cli/Parser.scala:30-186,
+SchemaCommand.scala:92-179): derive one merged JSON Schema from a
+directory of JSON/NDJSON files; segmented output with --schema-by;
+predefined enum sets; self-describing header with --vendor/--name;
+errors routed to --errors-path (as parquet) instead of stderr dumping.
+
+Knob parity notes: quantity (the base64 guard input) is set from the
+valid-doc count as the reference CLI does (SchemaCommand.scala:146 —
+unlike its Spark job, which leaves it unset; SURVEY.md §3.2)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="schema-guru-spark")
+    sub = ap.add_subparsers(dest="command", required=True)
+    sp = sub.add_parser("schema", help="derive JSON Schema from documents")
+    sp.add_argument("input")
+    sp.add_argument("--output", default=None)
+    sp.add_argument("--ndjson", action="store_true")
+    sp.add_argument("--enum-cardinality", type=int, default=0)
+    sp.add_argument("--enum-sets", nargs="*", default=[])
+    sp.add_argument("--no-length", action="store_true")
+    sp.add_argument("--schema-by", default=None,
+                    help="JSONPath to segment documents by")
+    sp.add_argument("--errors-path", default=None)
+    sp.add_argument("--vendor", default=None)
+    sp.add_argument("--name", default=None)
+    sp.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "4")))
+    args = ap.parse_args(argv)
+
+    from schema_guru_spark.core.context import SchemaContext
+    from schema_guru_spark.operators.infer import (
+        infer_json_column, infer_json_column_by_key)
+    from schema_guru_spark.operators.migrations import describe
+    from schema_guru_spark.session import get_spark
+    from schema_guru_spark.sources.readers import read_enum_sets, read_json_dir
+    from pyspark.sql import functions as F
+
+    spark = get_spark("sgs-cli", master=f"local[{args.cpus}]")
+    docs = read_json_dir(spark, args.input, ndjson=args.ndjson)
+
+    enum_sets = read_enum_sets(args.enum_sets) if args.enum_sets else []
+    # CLI sets quantity from the doc count (SchemaCommand.scala:146)
+    quantity = docs.count()
+    ctx = SchemaContext.make(args.enum_cardinality, enum_sets,
+                             quantity=quantity,
+                             derive_length=not args.no_length)
+
+    if args.schema_by:
+        from schema_guru_spark.functions import normalize_segment_key
+        keyed = docs.withColumn(
+            "segment",
+            normalize_segment_key(F.get_json_object("content", args.schema_by)))
+        out = infer_json_column_by_key(keyed, "content", "segment", ctx)
+        rows = out.collect()
+        result = {}
+        for r in rows:
+            sch = json.loads(r["schema"])
+            if args.vendor and args.name:
+                sch = describe(sch, args.vendor, f"{args.name}.{r['segment']}")
+            result[r["segment"]] = sch
+        payload = json.dumps(result, indent=2, sort_keys=True)
+    else:
+        res = infer_json_column(docs, "content", ctx)
+        schema = res.schema(ctx)
+        if args.vendor and args.name:
+            schema = describe(schema, args.vendor, args.name)
+        if args.errors_path and res.n_err:
+            res.violations.write.mode("overwrite").parquet(args.errors_path)
+        elif res.n_err:
+            for row in res.violations.limit(20).collect():
+                print(f"error: {row['error']}", file=sys.stderr)
+        dupes = res.duplicated_keys()
+        for a, b in sorted(dupes):
+            print(f"warning: possibly duplicated keys: {a} ~ {b}",
+                  file=sys.stderr)
+        payload = json.dumps(schema, indent=2, sort_keys=True)
+
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(payload + "\n")
+    else:
+        print(payload)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,160 @@
+"""Sources (S1/S2/S6), keyed sink (K1), CLI schema command, migrations."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_guru_spark.operators import migrations as M
+from schema_guru_spark.sources.readers import (
+    read_enum_sets, read_json_dir, write_keyed_json,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def json_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs")
+    (d / "a.json").write_text('{"event": "click", "n": 3}')
+    (d / "b.json").write_text('{"event": "view", "n": 40000, "extra": true}')
+    sub = d / "nested"
+    sub.mkdir()
+    (sub / "c.json").write_text('{"event": "click", "n": -2}')
+    (d / "bad.json").write_text('{broken')
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def nd_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nd")
+    (d / "events.ndjson").write_text(
+        '{"k": 1}\n{"k": 2}\n\n{"k": "three"}\n')
+    return str(d)
+
+
+def test_wholefile_reader(spark, json_dir):
+    df = read_json_dir(spark, json_dir)
+    assert df.count() == 4  # recursive, incl. nested/ and bad
+    assert df.columns == ["path", "content"]
+
+
+def test_ndjson_reader(spark, nd_file):
+    df = read_json_dir(spark, nd_file, ndjson=True)
+    assert df.count() == 3  # blank line dropped
+
+
+def test_reader_into_inference(spark, json_dir):
+    from schema_guru_spark.core.context import SchemaContext
+    from schema_guru_spark.operators.infer import infer_json_column
+    ctx = SchemaContext.make(0)
+    res = infer_json_column(read_json_dir(spark, json_dir), "content", ctx)
+    assert res.n_ok == 3 and res.n_err == 1
+    sch = res.schema(ctx)
+    # n in [-2, 40000] -> Int32 encased
+    assert sch["properties"]["n"]["minimum"] == -2147483648
+
+
+def test_enum_set_reader(tmp_path):
+    p = tmp_path / "set.json"
+    p.write_text('["a", "b", "c"]')
+    assert read_enum_sets([str(p)]) == [["a", "b", "c"]]
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"not": "array"}')
+    with pytest.raises(ValueError):
+        read_enum_sets([str(bad)])
+
+
+def test_keyed_sink(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("click", '{"a":1}'), ("view", '{"b":2}'), ("click", '{"c":3}')],
+        ["segment", "doc"])
+    out = str(tmp_path / "keyed")
+    write_keyed_json(df, out, "segment", "doc")
+    back = spark.read.text(out + "/segment=click")
+    assert back.count() == 2
+    assert sorted(os.listdir(out))[:1] == ["_SUCCESS"] or any(
+        e.startswith("segment=") for e in os.listdir(out))
+
+
+def test_cli_schema_command(json_dir, tmp_path):
+    out = tmp_path / "schema.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "schema_guru_spark.cli", "schema", json_dir,
+         "--output", str(out), "--enum-cardinality", "4",
+         "--vendor", "com.example", "--name", "event"],
+        cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    sch = json.loads(out.read_text())
+    assert sch["self"]["vendor"] == "com.example"
+    assert sch["self"]["version"] == "1-0-0"
+    assert sch["properties"]["event"]["enum"] == ["click", "view"] or \
+           sorted(sch["properties"]["event"]["enum"]) == ["click", "view"]
+    assert "error:" in r.stderr  # the broken doc routed to stderr
+
+
+def test_cli_segmented(json_dir, tmp_path):
+    out = tmp_path / "seg.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "schema_guru_spark.cli", "schema", json_dir,
+         "--schema-by", "$.event", "--output", str(out)],
+        cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    seg = json.loads(out.read_text())
+    assert set(seg) >= {"click", "view"}
+    # parse failures -> "unmatched" segment (null JSONPath)
+    assert "unmatched" in seg
+
+
+# --- migrations / SchemaVer ---
+
+V1 = {"type": "object", "properties": {
+    "a": {"type": "string"}, "b": {"type": "integer"}}}
+V2 = {"type": "object", "properties": {
+    "a": {"type": "string"}, "b": {"type": "number"},
+    "c": {"type": "boolean"}}}
+
+
+def test_schemaver():
+    sv = M.SchemaVer.parse("2-13-4")
+    assert (sv.model, sv.revision, sv.addition) == (2, 13, 4)
+    assert str(sv) == "2-13-4"
+    with pytest.raises(ValueError):
+        M.SchemaVer.parse("1.0.0")
+
+
+def test_key_diffs():
+    assert M.added_keys(V1, V2) == ["c"]
+    assert M.removed_keys(V2, V1) == ["c"]
+    assert M.modified_properties(V1, V2) == ["b"]
+
+
+def test_migration_matrix():
+    versions = [
+        ("com.acme", "event", "1-0-0", V1),
+        ("com.acme", "event", "1-0-1", V2),
+        ("com.acme", "event", "1-1-0", V2),
+    ]
+    migs = M.build_migration_matrix(versions)
+    # chains: 1-0-0->1-0-1, 1-0-0->1-1-0, 1-0-1->1-1-0
+    assert len(migs) == 3
+    first = migs[0]
+    assert str(first.from_ver) == "1-0-0" and first.added == ["c"]
+
+
+def test_latest_per_model():
+    best = M.latest_per_model([
+        ("v", "n", "1-0-0"), ("v", "n", "1-2-0"), ("v", "n", "1-1-9"),
+        ("v", "n", "2-0-0")])
+    assert str(best[("v", "n", 1)]) == "1-2-0"
+    assert str(best[("v", "n", 2)]) == "2-0-0"
+
+
+def test_flatten_nested():
+    sch = {"type": "object", "properties": {
+        "a": {"type": "object", "properties": {"x": {"type": "string"}}},
+        "b": {"type": "integer"}}}
+    assert list(M.flatten_properties(sch)) == ["a.x", "b"]
