@@ -1,0 +1,134 @@
+"""Streaming schema inference (Structured Streaming).
+
+The reference is batch-only (Spark 1.3.1 RDD API — SURVEY.md §2
+'Streaming'); this extends the same merge monoid to streams, which is
+exactly what a commutative monoid buys: arbitrary incremental folds.
+
+Two shapes:
+
+  * ``run_incremental_inference`` — global evolving schema via
+    ``foreachBatch``: each micro-batch computes its partial state with
+    the batch engine (same operators/infer.py path, same plans), then
+    merges into a driver-persisted cumulative state (tiny JSON). Restart
+    reuses both the stream checkpoint AND the persisted state.
+  * ``keyed_schema_stream`` — per-key evolving schema via
+    ``applyInPandasWithState``: custom stateful operator keeping each
+    key's merged micro-schema state + counters in the state store,
+    emitting the updated rendered schema per key per batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from schema_guru_spark.core.context import SchemaContext
+from schema_guru_spark.core.microschema import (
+    ZERO, derive_text, dumps, loads, merge, render,
+)
+from schema_guru_spark.core.transforms import apply_transforms
+
+
+class IncrementalSchemaState:
+    """Driver-side cumulative state file: {state, n_ok, n_err}."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def read(self) -> Tuple[dict, int, int]:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                d = json.load(f)
+            return d["state"], d["n_ok"], d["n_err"]
+        return ZERO, 0, 0
+
+    def write(self, state: dict, n_ok: int, n_err: int) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"state": state, "n_ok": n_ok, "n_err": n_err}, f)
+        os.replace(tmp, self.path)
+
+
+def run_incremental_inference(stream_df: DataFrame, column: str,
+                              ctx: SchemaContext, state_path: str,
+                              checkpoint_dir: str,
+                              trigger_available_now: bool = True):
+    """readStream -> foreachBatch(batch inference + cumulative merge).
+
+    Returns the StreamingQuery. The cumulative rendered schema is
+    re-written to ``state_path`` + '.schema.json' after every batch.
+    """
+    from schema_guru_spark.operators.infer import infer_json_column
+
+    store = IncrementalSchemaState(state_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        res = infer_json_column(batch_df, column, ctx)
+        prev, ok, err = store.read()
+        merged = merge(prev, res.state, ctx)
+        store.write(merged, ok + res.n_ok, err + res.n_err)
+        rendered = render(apply_transforms(merged, ctx), ctx)
+        with open(state_path + ".schema.json", "w") as f:
+            json.dump(rendered, f, sort_keys=True)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+_STATE_SCHEMA = "state string, n_ok bigint, n_err bigint"
+_OUT_SCHEMA = "key string, schema string, n_ok bigint, n_err bigint"
+
+
+def _keyed_state_fn(ctx: SchemaContext, column: str):
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st_json, n_ok, n_err = state.get
+            acc = loads(st_json)
+        else:
+            acc, n_ok, n_err = ZERO, 0, 0
+        for pdf in pdfs:
+            for text in pdf[column]:
+                sch, err = derive_text(text if text is not None else "", ctx)
+                if err is not None:
+                    n_err += 1
+                else:
+                    acc = merge(acc, sch, ctx)
+                    n_ok += 1
+        state.update((dumps(acc), n_ok, n_err))
+        rendered = json.dumps(render(apply_transforms(acc, ctx), ctx),
+                              sort_keys=True)
+        yield pd.DataFrame([{"key": key[0], "schema": rendered,
+                             "n_ok": n_ok, "n_err": n_err}])
+
+    return fn
+
+
+def keyed_schema_stream(stream_df: DataFrame, column: str, key_col: str,
+                        ctx: SchemaContext) -> DataFrame:
+    """Per-key evolving schema as a stateful streaming transform.
+
+    Input: streaming DataFrame with (key_col, column). Output stream:
+    (key, schema, n_ok, n_err) updated each batch. State per key is the
+    serialized micro-schema monoid state — bounded by schema complexity,
+    not stream length.
+    """
+    return (stream_df
+            .select(F.col(key_col).alias("key"), F.col(column))
+            .groupBy("key")
+            .applyInPandasWithState(
+                _keyed_state_fn(ctx, column),
+                outputStructType=_OUT_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
