@@ -40,7 +40,17 @@ def main(argv=None) -> int:
     sp.add_argument("--name", default=None)
     sp.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "4")))
+
+    dp = sub.add_parser("ddl", help="generate Redshift DDL + JSONPaths "
+                                    "from self-describing JSON Schemas")
+    dp.add_argument("input", help="dir of self-describing JSON Schema files")
+    dp.add_argument("--output", default=".",
+                    help="root for the sql/ + jsonpaths/ tree")
+    dp.add_argument("--schema-name", default="atomic")
     args = ap.parse_args(argv)
+
+    if args.command == "ddl":
+        return _ddl_command(args)
 
     from schema_guru_spark.core.context import SchemaContext
     from schema_guru_spark.operators.infer import (
@@ -95,6 +105,35 @@ def main(argv=None) -> int:
             f.write(payload + "\n")
     else:
         print(payload)
+    return 0
+
+
+def _ddl_command(args) -> int:
+    """Driver-only (no Spark): parse self-describing schema files, emit
+    the sql/ + jsonpaths/ file tree (reference ddl command, K5)."""
+    import glob
+
+    from schema_guru_spark.operators.ddl import ddl_file_tree
+
+    versions = []
+    for p in sorted(glob.glob(os.path.join(args.input, "**", "*.json"),
+                              recursive=True)):
+        with open(p) as f:
+            doc = json.load(f)
+        self_desc = doc.get("self", {})
+        vendor = self_desc.get("vendor", "com.unknown")
+        name = self_desc.get("name", os.path.splitext(os.path.basename(p))[0])
+        version = self_desc.get("version", "1-0-0")
+        schema = {k: v for k, v in doc.items() if k not in ("self", "$schema")}
+        versions.append((vendor, name, version, schema))
+
+    tree = ddl_file_tree(versions, schema_name=args.schema_name)
+    for rel, content in tree.items():
+        dest = os.path.join(args.output, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        with open(dest, "w") as f:
+            f.write(content + "\n")
+        print(dest)
     return 0
 
 

@@ -46,32 +46,49 @@ _STATE_KIND, _VIOLATION_KIND = "s", "v"
 
 def _derive_partial(ctx: SchemaContext, column: str):
     """Build the mapInPandas function: per-task derive+fold, single pass,
-    violations streamed out as rows."""
+    violations streamed out as rows.
+
+    Unique-document fast path: each batch is ``pd.factorize``d
+    (order-preserving, C-speed) and each DISTINCT document is parsed and
+    derived exactly once. A document seen n >= 2 times contributes
+    ``s ⊕ s`` — the monoid stabilizes after one self-merge (bounds and
+    flags are idempotent; the enum concat-size check reaches its fixed
+    point on the second merge), so this is bit-identical to folding all
+    n copies (law pinned by test_merge_self_stabilizes). Real-world
+    JSON-bearing corpora are heavily duplicated, so this cuts the
+    per-doc Python work from O(rows) to O(distinct)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         acc = ZERO
         n_ok = 0
         n_err = 0
         for pdf in batches:
             errs = []
-            for text in pdf[column]:
-                if text is None:
-                    n_err += 1
-                    errs.append("null content")
-                    continue
+            codes, uniques = pd.factorize(pdf[column], use_na_sentinel=True)
+            counts = np.bincount(codes[codes >= 0],
+                                 minlength=len(uniques)).tolist()
+            n_null = int((codes < 0).sum())
+            if n_null:
+                n_err += n_null
+                errs.extend(["null content"] * n_null)
+            for text, cnt in zip(uniques, counts):
                 try:
                     value = json.loads(text)
                 except (ValueError, TypeError) as e:
-                    n_err += 1
-                    errs.append(f"invalid JSON: {e}")
+                    n_err += cnt
+                    errs.extend([f"invalid JSON: {e}"] * cnt)
                     continue
                 sch, err = derive(value, ctx)
                 if err is not None:
-                    n_err += 1
-                    errs.append(err)
+                    n_err += cnt
+                    errs.extend([err] * cnt)
                 else:
                     acc = merge(acc, sch, ctx)
-                    n_ok += 1
+                    if cnt > 1:
+                        acc = merge(acc, sch, ctx)
+                    n_ok += cnt
             if errs:
                 yield pd.DataFrame({
                     "kind": _VIOLATION_KIND, "payload": errs,
@@ -138,8 +155,9 @@ def infer_json_column(df: DataFrame, column: str, ctx: SchemaContext,
                     .select(F.col("payload").alias("error"))
 
     states = raw.filter(F.col("kind") == _STATE_KIND)
-    # intermediate tree-combine rounds executor-side
-    n = df.rdd.getNumPartitions()
+    # intermediate tree-combine rounds executor-side; counting the (tiny,
+    # persisted) state rows also materializes the single data pass
+    n = states.count()
     while n > fanin:
         n = max(1, math.ceil(n / fanin))
         states = states.repartition(n).mapInPandas(_state_combiner(ctx), _OUT_SCHEMA)

@@ -103,25 +103,46 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
 
             is_json = pdf["lang"] == "json"
             if is_json.any():
+                import numpy as np
+
                 errs: list[tuple] = []
-                for b, repo, lang, text in zip(
-                        pdf.loc[is_json, "bucket"], pdf.loc[is_json, "repo"],
-                        pdf.loc[is_json, "lang"], pdf.loc[is_json, "content"]):
+                # unique-doc fast path per bucket (see operators/infer.py:
+                # the monoid stabilizes after one self-merge)
+                for b, grp in pdf[is_json].groupby("bucket"):
                     b = int(b)
                     c = bucket_counter(b)
-                    try:
-                        value = json.loads(text)
-                    except (ValueError, TypeError) as e:
-                        c["n_json_err"] += 1
-                        errs.append((b, repo, lang, f"invalid JSON: {e}"))
-                        continue
-                    sch, err = derive(value, ctx)
-                    if err is not None:
-                        c["n_json_err"] += 1
-                        errs.append((b, repo, lang, err))
-                    else:
-                        states[b] = merge(states.get(b, ZERO), sch, ctx)
-                        c["n_json_ok"] += 1
+                    codes, uniques = pd.factorize(grp["content"],
+                                                  use_na_sentinel=True)
+                    counts = np.bincount(codes[codes >= 0],
+                                         minlength=len(uniques)).tolist()
+                    first_repo = {}
+                    if len(uniques):
+                        firsts = grp["repo"].groupby(codes).first()
+                        first_repo = firsts.to_dict()
+                    n_null = int((codes < 0).sum())
+                    if n_null:
+                        c["n_json_err"] += n_null
+                        repo0 = grp["repo"].iloc[0]
+                        errs.extend([(b, repo0, "json", "null content")] * n_null)
+                    for u, (text, cnt) in enumerate(zip(uniques, counts)):
+                        repo = first_repo.get(u, "")
+                        try:
+                            value = json.loads(text)
+                        except (ValueError, TypeError) as e:
+                            c["n_json_err"] += cnt
+                            errs.extend([(b, repo, "json",
+                                          f"invalid JSON: {e}")] * cnt)
+                            continue
+                        sch, err = derive(value, ctx)
+                        if err is not None:
+                            c["n_json_err"] += cnt
+                            errs.extend([(b, repo, "json", err)] * cnt)
+                        else:
+                            st = merge(states.get(b, ZERO), sch, ctx)
+                            if cnt > 1:
+                                st = merge(st, sch, ctx)
+                            states[b] = st
+                            c["n_json_ok"] += cnt
                 if errs:
                     e = pd.DataFrame(errs, columns=["bucket", "repo", "lang",
                                                     "payload"])
@@ -230,6 +251,13 @@ def validate_repo_table(
                     .groupBy("bucket")
                     .applyInPandas(_combine_buckets(ctx), _VERDICT_SCHEMA))
 
+        if not ckpt:
+            # materialize the tiny verdicts and the violation rows NOW so
+            # callers' actions don't re-run the full scan after unpersist
+            verdicts = verdicts.persist()
+            verdicts.count()
+            violations = violations.persist()
+            violations.count()
         if ckpt:
             viol_path = f"{ckpt.dir}/violations"
             verd_path = f"{ckpt.dir}/verdicts"

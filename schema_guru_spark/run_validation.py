@@ -45,7 +45,20 @@ def main(argv=None) -> dict:
                       shuffle_partitions=max(args.cpus, 8))
 
     if args.synthesize:
-        df = synthesize_repo_table(spark, args.synthesize)
+        # materialize to parquet first: the validated workload must READ
+        # a table (as in production), not re-run the generator per job
+        import tempfile
+        synth_dir = os.path.join(tempfile.gettempdir(),
+                                 f"sgs_synth_{args.synthesize}")
+        marker = os.path.join(synth_dir, "_SUCCESS")
+        if not os.path.exists(marker):
+            # enough files that ANY later parallelism gets full scan
+            # splits (a table written by an 8-core session must not cap a
+            # 32-core reader at 8 partitions)
+            synthesize_repo_table(spark, args.synthesize) \
+                .repartition(128) \
+                .write.mode("overwrite").parquet(synth_dir)
+        df = spark.read.parquet(synth_dir)
     elif args.input:
         df = spark.read.parquet(args.input)
     else:

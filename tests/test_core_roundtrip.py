@@ -122,6 +122,24 @@ def test_merged_schema_validates_all_instances(docs):
         assert validate(d, merged) == []
 
 
+@settings(max_examples=150, deadline=None)
+@given(json_docs, st.integers(min_value=2, max_value=6))
+def test_merge_self_stabilizes(doc, n):
+    """The unique-document fast path law: folding n >= 2 copies of the
+    same micro-schema equals one self-merge (s ⊕ s). Exercised with
+    enum-bearing contexts where the concat-size check is the subtle
+    part (SchemaWithEnum.scala:57-59)."""
+    for ctx in (CTX, CTX_ENUM, SchemaContext.make(1)):
+        s, err = derive(doc, ctx)
+        if err is not None:
+            return
+        twice = merge(s, s, ctx)
+        folded = s
+        for _ in range(n - 1):
+            folded = merge(folded, s, ctx)
+        assert dumps(folded) == dumps(twice)
+
+
 def test_identity_law():
     sch, _ = derive({"x": [1, "a", None]}, CTX)
     assert merge(sch, ZERO, CTX) == sch == merge(ZERO, sch, CTX)
