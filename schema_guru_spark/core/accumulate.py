@@ -1,0 +1,137 @@
+"""In-place derive+merge fusion — the executor hot path.
+
+``accumulate(acc, value, ctx)`` is semantically identical to
+``merge(acc, derive_sub(value, ctx), ctx)`` (law pinned by
+tests/test_core_roundtrip.py::test_accumulate_equals_derive_merge) but
+mutates the task-owned accumulator in place instead of materializing a
+micro-schema dict per document and shallow-merging it. This roughly
+halves Python allocations per document, which matters twice at scale:
+per-doc CPU drops, and the reduced allocator/memory-bandwidth pressure
+is what lets 32 concurrent Python workers actually scale (the pure
+derive+merge path measured ~0.74 scaling efficiency per 4x cores on a
+32-core box — allocator-bound, not GIL-bound).
+
+OWNERSHIP CONTRACT: ``acc`` must be task-private and never aliased
+(fresh ``{}`` per partition/bucket). The pure ``merge`` shares subtrees
+between inputs, so never feed a dict into ``accumulate`` that is also
+referenced elsewhere.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from schema_guru_spark.core.context import SchemaContext
+from schema_guru_spark.core.formats import suggest_base64, suggest_format
+from schema_guru_spark.core.microschema import (
+    _eq_or_none,
+    _int_as_num,
+    _max_or_none,
+    _merge_num,
+    _min_or_none,
+    construct_enum,
+    merge_enums,
+)
+
+
+def accumulate(acc: dict, value: Any, ctx: SchemaContext) -> dict:
+    """Fold one JSON value into the accumulator state. Returns ``acc``
+    (mutated). Semantics == merge(acc, derive_sub(value, ctx), ctx)."""
+    if isinstance(value, bool):  # before int — Python bool <: int
+        acc["bool"] = True
+        return acc
+    if isinstance(value, dict):
+        obj = acc.get("obj")
+        if obj is None:
+            obj = {"props": {}}
+            acc["obj"] = obj
+        props = obj["props"]
+        for k, v in value.items():
+            child = props.get(k)
+            if child is None:
+                child = {}
+                props[k] = child
+            accumulate(child, v, ctx)
+        return acc
+    if isinstance(value, list):
+        arr = acc.get("arr")
+        if arr is None:
+            arr = {"items": {}}
+            acc["arr"] = arr
+        items = arr["items"]
+        for elem in value:
+            accumulate(items, elem, ctx)
+        return acc
+    if isinstance(value, str):
+        fmt = suggest_format(value)
+        pat = suggest_base64(value, ctx.quantity)
+        ln = len(value) if ctx.derive_length else None
+        st = acc.get("str")
+        if st is None:
+            acc["str"] = {
+                "format": fmt, "pattern": pat,
+                "min_len": ln, "max_len": ln,
+                "enum": construct_enum(value, ctx),
+            }
+        else:
+            st["format"] = _eq_or_none(st["format"], fmt)
+            st["pattern"] = _eq_or_none(st["pattern"], pat)
+            st["min_len"] = _min_or_none(st["min_len"], ln)
+            st["max_len"] = _max_or_none(st["max_len"], ln)
+            st["enum"] = merge_enums(st["enum"], construct_enum(value, ctx), ctx)
+        return acc
+    if isinstance(value, int):
+        en = construct_enum(value, ctx)
+        num = acc.get("num")
+        if num is not None:
+            # int ⊕ num -> num, value widened (NumberSchema.scala:54-61).
+            # Enum order: the pure merge folds the int slot INTO num
+            # (ProductSchema.scala:90-95), so the new int's enum comes
+            # first — keep bit-parity with merge(acc, derive(v)).
+            v = float(value)
+            num["min"] = _min_or_none(num["min"], v)
+            num["max"] = _max_or_none(num["max"], v)
+            num["enum"] = merge_enums(en, num["enum"], ctx)
+            return acc
+        it = acc.get("int")
+        if it is None:
+            acc["int"] = {"min": value, "max": value, "enum": en}
+        else:
+            it["min"] = _min_or_none(it["min"], value)
+            it["max"] = _max_or_none(it["max"], value)
+            it["enum"] = merge_enums(it["enum"], en, ctx)
+        return acc
+    if isinstance(value, float):
+        en = construct_enum(float(value), ctx)
+        it = acc.pop("int", None)
+        num = acc.get("num")
+        if num is None and it is not None:
+            # existing int slot widens to num (ProductSchema.scala:90-95)
+            num = _int_as_num(it)
+            acc["num"] = num
+        elif num is None:
+            acc["num"] = {"min": value, "max": value, "enum": en}
+            return acc
+        elif it is not None:
+            acc["num"] = num = _merge_num(_int_as_num(it), num, ctx)
+        num["min"] = _min_or_none(num["min"], value)
+        num["max"] = _max_or_none(num["max"], value)
+        num["enum"] = merge_enums(num["enum"], en, ctx)
+        return acc
+    if value is None:
+        acc["null"] = True
+        return acc
+    raise TypeError(f"not a JSON value: {type(value)!r}")
+
+
+def accumulate_doc(acc: dict, value: Any, ctx: SchemaContext) -> dict:
+    """Top-level gate variant (objects/arrays only) — the hot-path twin
+    of ``derive`` + merge. Raises ValueError with the reference's message
+    for scalar instances (SchemaGenerator.scala:54-59)."""
+    if not isinstance(value, (dict, list)):
+        import json as _json
+        compact = _json.dumps(value, separators=(",", ":"))
+        raise ValueError(
+            "JSON instances must contain only objects or arrays. "
+            f"{compact[:32]} is unacceptable")
+    return accumulate(acc, value, ctx)

@@ -53,6 +53,28 @@ def uniqueness_hll(df: DataFrame, keys: Sequence[str], rsd: float = 0.02,
     )
 
 
+def uniqueness_hashed(df: DataFrame, keys: Sequence[str], rsd: float = 0.02,
+                      tolerance: float = 0.05) -> DataFrame:
+    """Scale path for the uniqueness screen: pre-hash the key tuple to a
+    64-bit xxhash so the distinct aggregate shuffles 8 bytes/row instead
+    of the raw key strings (~20x less exchange volume on path-like
+    keys). Collision probability for n keys is ~n²/2⁶⁵ (≈2e-6 at 8M,
+    ≈0.03 at 1B) — a screen, confirmed by ``uniqueness_exact`` /
+    ``duplicate_key_rows`` only when it fails."""
+    h = F.xxhash64(*[F.col(k) for k in keys])
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(h).alias("n_exact"),
+        F.approx_count_distinct(h, rsd).alias("n_approx"),
+    ).select(
+        "n_rows", "n_exact", "n_approx",
+        (F.abs(F.col("n_approx") - F.col("n_exact")) /
+         F.greatest(F.col("n_exact"), F.lit(1))).alias("rel_err"),
+        ((F.abs(F.col("n_approx") - F.col("n_exact")) /
+          F.greatest(F.col("n_exact"), F.lit(1))) <= tolerance).alias("hll_ok"),
+    )
+
+
 def duplicate_key_rows(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Violation rows: key tuples appearing more than once, with their
     multiplicity. groupBy(keys) shuffles on the keys — at scale, skewed

@@ -61,7 +61,9 @@ def _derive_partial(ctx: SchemaContext, column: str):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        acc = ZERO
+        from schema_guru_spark.core.accumulate import accumulate_doc
+
+        acc: dict = {}  # task-private (accumulate mutates in place)
         n_ok = 0
         n_err = 0
         for pdf in batches:
@@ -80,15 +82,14 @@ def _derive_partial(ctx: SchemaContext, column: str):
                     n_err += cnt
                     errs.extend([f"invalid JSON: {e}"] * cnt)
                     continue
-                sch, err = derive(value, ctx)
-                if err is not None:
-                    n_err += cnt
-                    errs.extend([err] * cnt)
-                else:
-                    acc = merge(acc, sch, ctx)
+                try:
+                    accumulate_doc(acc, value, ctx)
                     if cnt > 1:
-                        acc = merge(acc, sch, ctx)
+                        accumulate_doc(acc, value, ctx)
                     n_ok += cnt
+                except ValueError as e:
+                    n_err += cnt
+                    errs.extend([str(e)] * cnt)
             if errs:
                 yield pd.DataFrame({
                     "kind": _VIOLATION_KIND, "payload": errs,
@@ -184,21 +185,19 @@ def infer_json_column_by_key(df: DataFrame, column: str, key_col: str,
     part_schema = f"{key_col} string, payload string, n_ok bigint, n_err bigint"
 
     def phase1(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        acc, n_ok, n_err = ZERO, 0, 0
+        from schema_guru_spark.core.accumulate import accumulate_doc
+
+        acc: dict = {}
+        n_ok, n_err = 0, 0
         for text in pdf[column]:
             try:
                 value = json.loads(text) if text is not None else None
                 if value is None:
                     raise ValueError("null content")
+                accumulate_doc(acc, value, ctx)
+                n_ok += 1
             except (ValueError, TypeError):
                 n_err += 1
-                continue
-            sch, err = derive(value, ctx)
-            if err is not None:
-                n_err += 1
-            else:
-                acc = merge(acc, sch, ctx)
-                n_ok += 1
         return pd.DataFrame({key_col: [key[0]], "payload": [dumps(acc)],
                              "n_ok": [n_ok], "n_err": [n_err]})
 

@@ -124,6 +124,10 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
                         c["n_json_err"] += n_null
                         repo0 = grp["repo"].iloc[0]
                         errs.extend([(b, repo0, "json", "null content")] * n_null)
+                    from schema_guru_spark.core.accumulate import accumulate_doc
+                    st = states.get(b)
+                    if st is None:
+                        st = states[b] = {}
                     for u, (text, cnt) in enumerate(zip(uniques, counts)):
                         repo = first_repo.get(u, "")
                         try:
@@ -133,16 +137,14 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
                             errs.extend([(b, repo, "json",
                                           f"invalid JSON: {e}")] * cnt)
                             continue
-                        sch, err = derive(value, ctx)
-                        if err is not None:
-                            c["n_json_err"] += cnt
-                            errs.extend([(b, repo, "json", err)] * cnt)
-                        else:
-                            st = merge(states.get(b, ZERO), sch, ctx)
+                        try:
+                            accumulate_doc(st, value, ctx)
                             if cnt > 1:
-                                st = merge(st, sch, ctx)
-                            states[b] = st
+                                accumulate_doc(st, value, ctx)
                             c["n_json_ok"] += cnt
+                        except ValueError as e:
+                            c["n_json_err"] += cnt
+                            errs.extend([(b, repo, "json", str(e))] * cnt)
                 if errs:
                     e = pd.DataFrame(errs, columns=["bucket", "repo", "lang",
                                                     "payload"])
@@ -233,7 +235,14 @@ def validate_repo_table(
             (F.sha2("content", 256) == F.col("content_sha"))
             if has_sha else F.lit(True))
         .withColumn("lang_ok", F.col("lang").isin(list(allowed_langs)))
-        .select("bucket", "repo", "lang", "content", "sha_ok", "lang_ok")
+        # only JSON-bearing rows' content crosses the Arrow boundary —
+        # sha/lang checks already happened JVM-side, so non-JSON content
+        # (here ~60% of bytes) is nulled before serialization to Python
+        .select(
+            "bucket", "repo", "lang",
+            F.when(F.col("lang") == "json", F.col("content"))
+             .otherwise(F.lit(None)).alias("content"),
+            "sha_ok", "lang_ok")
     )
 
     all_verdicts = []
@@ -310,13 +319,20 @@ def constraint_report(spark: SparkSession, df: DataFrame,
         anti-join);
       drift: per-bucket PSI of content length vs global.
     """
-    keys = df.select("repo", "path", "commit")
-    uniq = C.uniqueness_hll(keys, ["repo", "path", "commit"]).collect()[0]
-
-    lengths = (df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
-                 .select("bucket", F.length("content").alias("clen")))
-    drift = C.drift_by_partition(lengths, "clen", "bucket")
-    worst = drift.agg(F.max("psi").alias("worst_psi")).collect()[0]
+    # ONE pass over the table projects everything both checks need
+    # (~20 bytes/row), cached; content is read exactly once here
+    slim = (df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
+              .select("bucket",
+                      F.length("content").alias("clen"),
+                      F.xxhash64("repo", "path", "commit").alias("kh"))
+              .persist())
+    try:
+        # hashed screen: 8-byte shuffle rows instead of raw key strings
+        uniq = C.uniqueness_hashed(slim, ["kh"]).collect()[0]
+        drift = C.drift_by_partition(slim, "clen", "bucket")
+        worst = drift.agg(F.max("psi").alias("worst_psi")).collect()[0]
+    finally:
+        slim.unpersist()
 
     return {
         "n_rows": uniq["n_rows"],

@@ -78,10 +78,11 @@ def main(argv=None) -> dict:
         F.count(F.lit(1)).alias("buckets"),
     ).collect()[0]
     n_violations = res.violations.count()
-    dt = time.perf_counter() - t0
+    t_validate = time.perf_counter() - t0
 
     rep = constraint_report(spark, df, n_buckets=args.buckets,
                             n_salts=args.salts)
+    dt = time.perf_counter() - t0
     out = {
         "rows": agg["rows"], "json_ok": agg["json_ok"],
         "json_err": agg["json_err"], "sha_bad": agg["sha_bad"],
@@ -90,6 +91,8 @@ def main(argv=None) -> dict:
         "n_violation_rows": n_violations,
         "resumed_buckets": len(res.resumed_buckets),
         "wall_sec": round(dt, 3),
+        "validate_sec": round(t_validate, 3),
+        "constraints_sec": round(dt - t_validate, 3),
         "files_per_sec": round((agg["rows"] or 0) / dt, 1),
         "cpus": args.cpus,
         "constraints": rep,

@@ -80,6 +80,23 @@ def test_type_mismatch_fails():
     assert not is_valid({"a": "forty-two"}, rendered)
 
 
+def canon(s):
+    """Canonical dump modulo enum ORDER — enum ordering is
+    observation-order-dependent in the reference too (EnumSpec.scala:75
+    'TODO: ignore order'); membership and tombstoning are not."""
+    o = json.loads(dumps(s))
+
+    def fix(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "enum" and isinstance(v, list):
+                    node[k] = sorted(map(repr, v))
+                else:
+                    fix(v)
+    fix(o)
+    return json.dumps(o, sort_keys=True)
+
+
 @settings(max_examples=150, deadline=None)
 @given(st.lists(json_docs, min_size=1, max_size=5))
 def test_merge_commutative_and_associative(docs):
@@ -90,19 +107,6 @@ def test_merge_commutative_and_associative(docs):
     tree = schemas[0]
     for s in schemas[1:]:
         tree = merge(s, tree, CTX_ENUM)
-    # enum ordering is observation-order-dependent (as in the reference);
-    # compare modulo enum order
-    def canon(s):
-        o = json.loads(dumps(s))
-        def fix(node):
-            if isinstance(node, dict):
-                for k, v in node.items():
-                    if k == "enum" and isinstance(v, list):
-                        node[k] = sorted(map(repr, v))
-                    else:
-                        fix(v)
-        fix(o)
-        return json.dumps(o, sort_keys=True)
     assert canon(fwd) == canon(rev) == canon(tree)
 
 
@@ -138,6 +142,26 @@ def test_merge_self_stabilizes(doc, n):
         for _ in range(n - 1):
             folded = merge(folded, s, ctx)
         assert dumps(folded) == dumps(twice)
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.lists(json_docs, min_size=1, max_size=5))
+def test_accumulate_equals_derive_merge(docs):
+    """Hot-path fusion law: in-place accumulate over a doc list produces
+    the exact state of the pure derive+merge fold — for plain, enum, and
+    tight-cardinality contexts."""
+    from schema_guru_spark.core.accumulate import accumulate_doc
+    for ctx in (CTX, CTX_ENUM, SchemaContext.make(1)):
+        pure = ZERO
+        for d in docs:
+            pure = merge(pure, derive(d, ctx)[0], ctx)
+        fused = {}
+        for d in docs:
+            accumulate_doc(fused, d, ctx)
+        # modulo enum order: nested-array element enums associate
+        # differently (pre-merged at derivation vs streamed), an
+        # order-dependence the reference shares
+        assert canon(fused) == canon(pure)
 
 
 def test_identity_law():

