@@ -30,6 +30,7 @@ from schema_guru_spark.core.microschema import (
     _merge_num,
     _min_or_none,
     construct_enum,
+    merge as _merge,
     merge_enums,
 )
 
@@ -54,13 +55,20 @@ def accumulate(acc: dict, value: Any, ctx: SchemaContext) -> dict:
             accumulate(child, v, ctx)
         return acc
     if isinstance(value, list):
+        # mimic derivation exactly: array literal elements are pre-merged
+        # into a FRESH sub-schema first (jArrayListProcessor suml,
+        # SchemaGenerator.scala:136-149), and that sub-schema merges into
+        # the accumulator as a unit. Streaming elements straight into the
+        # existing state would change enum-tombstone outcomes (the concat
+        # -size check sees different list lengths).
+        fresh: dict = {}
+        for elem in value:
+            accumulate(fresh, elem, ctx)
         arr = acc.get("arr")
         if arr is None:
-            arr = {"items": {}}
-            acc["arr"] = arr
-        items = arr["items"]
-        for elem in value:
-            accumulate(items, elem, ctx)
+            acc["arr"] = {"items": fresh}
+        else:
+            arr["items"] = _merge(arr["items"], fresh, ctx)
         return acc
     if isinstance(value, str):
         fmt = suggest_format(value)

@@ -57,16 +57,22 @@ ISO_BASIC_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([T ].*)?$")
 
 
 def suggest_uuid(s: str) -> Optional[str]:
-    """SchemaGenerator.scala:169-176."""
+    """SchemaGenerator.scala:169-176. O(1) length/dash prefilter — the
+    regex only accepts the canonical 36-char layout."""
+    if len(s) != 36 or s[8] != "-" or s[13] != "-":
+        return None
     return "uuid" if UUID_RE.match(s) else None
 
 
 def suggest_time(s: str) -> Optional[str]:
     """ISO-8601 date-time, only for strings longer than 10 chars — the
-    truncation guard excluding bare dates (SchemaGenerator.scala:158-167)."""
+    truncation guard excluding bare dates (SchemaGenerator.scala:158-167).
+    Slicing prefilter equivalent to the YYYY-MM-DD[T ] shape check."""
     if len(s) <= 10:
         return None
-    if not ISO_BASIC_RE.match(s):
+    if (s[4] != "-" or s[7] != "-" or s[10] not in "T "
+            or not s[:4].isdigit() or not s[5:7].isdigit()
+            or not s[8:10].isdigit()):
         return None
     try:
         datetime.fromisoformat(s.replace("Z", "+00:00"))
@@ -77,7 +83,9 @@ def suggest_time(s: str) -> Optional[str]:
 
 def suggest_ip(s: str) -> Optional[str]:
     """ipv4 then ipv6 (SchemaGenerator.scala:178-183)."""
-    if IPV4_RE.match(s):
+    n = len(s)
+    if 7 <= n <= 15 and s[0].isdigit() and s.count(".") == 3 \
+            and IPV4_RE.match(s):
         return "ipv4"
     if ":" in s:
         try:
@@ -88,8 +96,13 @@ def suggest_ip(s: str) -> Optional[str]:
     return None
 
 
+_URL_PREFIXES = ("http://", "https://", "ftp://")
+
+
 def suggest_url(s: str) -> Optional[str]:
-    """SchemaGenerator.scala:185-189."""
+    """SchemaGenerator.scala:185-189. Scheme prefilter before regex."""
+    if not s.startswith(_URL_PREFIXES):
+        return None
     return "uri" if URL_FULL_RE.match(s) else None
 
 
@@ -108,8 +121,12 @@ def suggest_format(s: str) -> Optional[str]:
 def suggest_base64(s: str, quantity: Optional[int]) -> Optional[str]:
     """Base64 pattern with the small-instance-set suppression: when the
     total quantity is known and < 10 AND the string is shorter than 32
-    chars, no suggestion (SchemaGenerator.scala:191-200)."""
-    if quantity is not None and quantity < 10 and len(s) < 32:
+    chars, no suggestion (SchemaGenerator.scala:191-200). Every match of
+    the pattern has length % 4 == 0 and >= 4 — O(1) prefilter."""
+    n = len(s)
+    if quantity is not None and quantity < 10 and n < 32:
+        return None
+    if n < 4 or n % 4 != 0:
         return None
     return BASE64_PATTERN if BASE64_RE.match(s) else None
 

@@ -64,8 +64,13 @@ def test_filter_pushdown_reaches_scan(tables):
 def test_duplicate_keys_broadcast_nlj(tables):
     df = S.duplicate_keys(tables["documents"], "source")
     plan = plan_of(df)
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "ReadSchema: struct<source:string>" in plan
+    # the quadratic side must be broadcast, never a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # scan is column-pruned (fresh parquet read) or served from the
+    # operator's own key cache (InMemoryTableScan) — both acceptable
+    assert ("ReadSchema: struct<source:string>" in plan
+            or "InMemoryTableScan" in plan), plan
 
 
 def test_uniqueness_hashed_shuffles_hash_only(tables):
