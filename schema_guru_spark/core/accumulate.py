@@ -37,11 +37,45 @@ from schema_guru_spark.core.microschema import (
 
 def accumulate(acc: dict, value: Any, ctx: SchemaContext) -> dict:
     """Fold one JSON value into the accumulator state. Returns ``acc``
-    (mutated). Semantics == merge(acc, derive_sub(value, ctx), ctx)."""
-    if isinstance(value, bool):  # before int — Python bool <: int
-        acc["bool"] = True
+    (mutated). Semantics == merge(acc, derive_sub(value, ctx), ctx).
+
+    Dispatch is on exact class identity (json/orjson emit exact builtin
+    types), ordered by observed frequency — str first. ``bool`` is its
+    own class in Python, so unlike the isinstance ladder no bool-before-
+    int ordering hazard exists. Unknown classes fall through to a
+    TypeError like the pure path."""
+    t = value.__class__
+    if t is str:
+        fmt = suggest_format(value)
+        pat = suggest_base64(value, ctx.quantity)
+        ln = len(value) if ctx.derive_length else None
+        st = acc.get("str")
+        if st is None:
+            acc["str"] = {
+                "format": fmt, "pattern": pat,
+                "min_len": ln, "max_len": ln,
+                "enum": construct_enum(value, ctx),
+            }
+        else:
+            # inlined _eq_or_none / _min_or_none / _max_or_none
+            # (JsonSchema.scala:141-163 None-absorbing semantics)
+            if st["format"] != fmt:
+                st["format"] = None
+            if st["pattern"] != pat:
+                st["pattern"] = None
+            ml = st["min_len"]
+            if ml is None or ln is None:
+                st["min_len"] = None
+            elif ln < ml:
+                st["min_len"] = ln
+            mx = st["max_len"]
+            if mx is None or ln is None:
+                st["max_len"] = None
+            elif ln > mx:
+                st["max_len"] = ln
+            st["enum"] = merge_enums(st["enum"], construct_enum(value, ctx), ctx)
         return acc
-    if isinstance(value, dict):
+    if t is dict:
         obj = acc.get("obj")
         if obj is None:
             obj = {"props": {}}
@@ -54,6 +88,56 @@ def accumulate(acc: dict, value: Any, ctx: SchemaContext) -> dict:
                 props[k] = child
             accumulate(child, v, ctx)
         return acc
+    if t is int:
+        en = construct_enum(value, ctx)
+        num = acc.get("num")
+        if num is not None:
+            # int ⊕ num -> num, value widened (NumberSchema.scala:54-61).
+            v = float(value)
+            num["min"] = _min_or_none(num["min"], v)
+            num["max"] = _max_or_none(num["max"], v)
+            num["enum"] = merge_enums(en, num["enum"], ctx)
+            return acc
+        it = acc.get("int")
+        if it is None:
+            acc["int"] = {"min": value, "max": value, "enum": en}
+        else:
+            mn = it["min"]
+            if mn is not None and value < mn:
+                it["min"] = value
+            mx = it["max"]
+            if mx is not None and value > mx:
+                it["max"] = value
+            it["enum"] = merge_enums(it["enum"], en, ctx)
+        return acc
+    if t is bool:
+        acc["bool"] = True
+        return acc
+    return _accumulate_cold(acc, value, ctx, t)
+
+
+def _accumulate_cold(acc: dict, value: Any, ctx: SchemaContext,
+                     t: type) -> dict:
+    """Rarer kinds (list/float/null) + isinstance fallback for subclass
+    instances handed in by non-JSON callers."""
+    if t is not list and t is not float and value is not None:
+        # subclass of a builtin (e.g. collections.OrderedDict): re-enter
+        # via the original isinstance semantics
+        if isinstance(value, bool):
+            acc["bool"] = True
+            return acc
+        if isinstance(value, dict):
+            return accumulate(acc, dict(value), ctx)
+        if isinstance(value, list):
+            value = list(value)
+        elif isinstance(value, str):
+            return accumulate(acc, str(value), ctx)
+        elif isinstance(value, int):
+            return accumulate(acc, int(value), ctx)
+        elif isinstance(value, float):
+            value = float(value)
+        else:
+            raise TypeError(f"not a JSON value: {type(value)!r}")
     if isinstance(value, list):
         # mimic derivation exactly: array literal elements are pre-merged
         # into a FRESH sub-schema first (jArrayListProcessor suml,
@@ -69,45 +153,6 @@ def accumulate(acc: dict, value: Any, ctx: SchemaContext) -> dict:
             acc["arr"] = {"items": fresh}
         else:
             arr["items"] = _merge(arr["items"], fresh, ctx)
-        return acc
-    if isinstance(value, str):
-        fmt = suggest_format(value)
-        pat = suggest_base64(value, ctx.quantity)
-        ln = len(value) if ctx.derive_length else None
-        st = acc.get("str")
-        if st is None:
-            acc["str"] = {
-                "format": fmt, "pattern": pat,
-                "min_len": ln, "max_len": ln,
-                "enum": construct_enum(value, ctx),
-            }
-        else:
-            st["format"] = _eq_or_none(st["format"], fmt)
-            st["pattern"] = _eq_or_none(st["pattern"], pat)
-            st["min_len"] = _min_or_none(st["min_len"], ln)
-            st["max_len"] = _max_or_none(st["max_len"], ln)
-            st["enum"] = merge_enums(st["enum"], construct_enum(value, ctx), ctx)
-        return acc
-    if isinstance(value, int):
-        en = construct_enum(value, ctx)
-        num = acc.get("num")
-        if num is not None:
-            # int ⊕ num -> num, value widened (NumberSchema.scala:54-61).
-            # Enum order: the pure merge folds the int slot INTO num
-            # (ProductSchema.scala:90-95), so the new int's enum comes
-            # first — keep bit-parity with merge(acc, derive(v)).
-            v = float(value)
-            num["min"] = _min_or_none(num["min"], v)
-            num["max"] = _max_or_none(num["max"], v)
-            num["enum"] = merge_enums(en, num["enum"], ctx)
-            return acc
-        it = acc.get("int")
-        if it is None:
-            acc["int"] = {"min": value, "max": value, "enum": en}
-        else:
-            it["min"] = _min_or_none(it["min"], value)
-            it["max"] = _max_or_none(it["max"], value)
-            it["enum"] = merge_enums(it["enum"], en, ctx)
         return acc
     if isinstance(value, float):
         en = construct_enum(float(value), ctx)

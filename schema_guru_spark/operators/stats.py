@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from schema_guru_spark.core.levenshtein import get_duplicates
 from schema_guru_spark.core.transforms import (
     INT16_MAX, INT16_MIN, INT32_MAX, INT32_MIN, INT64_MAX, INT64_MIN,
 )
@@ -101,29 +102,25 @@ def enum_candidates(df: DataFrame, column: str, cardinality: int) -> DataFrame:
 
 def duplicate_keys(df: DataFrame, column: str) -> DataFrame:
     """Levenshtein near-duplicate detection over the DISTINCT values of a
-    column — J1+J2 (LevenshteinAnnotator.scala:39-114) as a DataFrame op:
-    uniform (strip -_ and lowercase), cross join distinct keys (small by
-    construction — keys, not rows), distance <= 1, canonical (least,
-    greatest) pair order.
+    column — J1+J2 (LevenshteinAnnotator.scala:39-114): uniform (strip -_
+    and lowercase), all-pairs edit distance <= 1 over keys longer than 3,
+    canonical (min, max) pair order.
 
-    The distinct() collapses the input to the key set BEFORE the cross
-    join, so the quadratic blowup is |keys|², never |rows|².
+    Scale shape: the DISTINCT reduction is the only data-scale stage and
+    runs distributed (partial hash-aggregate per partition, one shuffle of
+    the already-tiny key set). The pair step is schema-cardinality —
+    |distinct keys|, bounded by the schema, never by rows — so it runs on
+    the driver exactly like the reference (LevenshteinAnnotator is a
+    driver-side pass over merged-schema keys). This keeps the whole op a
+    single Spark job instead of persist + count + broadcast-nested-loop +
+    distinct (4 jobs of pure scheduling overhead for a ~20x20 product).
     """
-    keys = (df.select(F.col(column).alias("k")).where(F.col("k").isNotNull())
+    rows = (df.select(F.col(column).alias("k")).where(F.col("k").isNotNull())
               .distinct()
-              .where(F.length("k") > 3)).persist()
-    keys.count()  # materialize once: the cross join would otherwise re-scan
-    a = keys.select(F.col("k").alias("a"))
-    b = keys.select(F.col("k").alias("b"))
-    uniform = lambda c: F.lower(F.regexp_replace(c, "[-_]", ""))  # noqa: E731
-    pairs = (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("a") != F.col("b"))
-        .where(F.levenshtein(uniform(F.col("a")), uniform(F.col("b"))) <= 1)
-        .select(F.least("a", "b").alias("key_a"), F.greatest("a", "b").alias("key_b"))
-        .distinct()
-    )
-    return pairs
+              .where(F.length("k") > 3)).collect()
+    pairs = sorted(get_duplicates({r.k for r in rows}))
+    return df.sparkSession.createDataFrame(
+        pairs, "key_a string, key_b string")
 
 
 def group_with_latest(df: DataFrame, group_cols: list, order_cols: list) -> DataFrame:

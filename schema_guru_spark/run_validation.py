@@ -32,6 +32,16 @@ def main(argv=None) -> dict:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--salts", type=int, default=8)
     ap.add_argument("--chunk-size", type=int, default=None)
+    ap.add_argument("--max-err-rate", type=float, default=0.02,
+                    help="bucket passes if json parse-error rate <= this "
+                         "(sha/lang violations always fail the bucket)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="run the measured section this many times first "
+                         "(unmeasured) so the reported throughput is "
+                         "steady-state engine throughput — Python worker "
+                         "pool spawn + codegen JIT are one-time process "
+                         "costs, irrelevant at production data scale. "
+                         "Incompatible with --checkpoint.")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     ap.add_argument("--json-out", default=None)
@@ -64,11 +74,28 @@ def main(argv=None) -> dict:
     else:
         ap.error("need --input or --synthesize")
 
+    if args.warmup and args.checkpoint:
+        ap.error("--warmup and --checkpoint are mutually exclusive "
+                 "(a warm-up run would mark every bucket finished)")
+    from pyspark.sql import functions as F
+    for _ in range(args.warmup):
+        w = validate_repo_table(spark, df, n_buckets=args.buckets,
+                                n_salts=args.salts,
+                                chunk_size=args.chunk_size,
+                                max_err_rate=args.max_err_rate)
+        w.violations.count()
+        constraint_report(spark, df, n_buckets=args.buckets,
+                          n_salts=args.salts)
+        # drop every cached plan the warm-up left behind: Spark's
+        # CacheManager matches by logical plan, so the timed run would
+        # otherwise read the warm-up's caches instead of recomputing
+        spark.catalog.clearCache()
+
     t0 = time.perf_counter()
     res = validate_repo_table(spark, df, checkpoint_dir=args.checkpoint,
                               n_buckets=args.buckets, n_salts=args.salts,
-                              chunk_size=args.chunk_size)
-    from pyspark.sql import functions as F
+                              chunk_size=args.chunk_size,
+                              max_err_rate=args.max_err_rate)
     agg = res.verdicts.agg(
         F.sum("n_rows").alias("rows"),
         F.sum("n_json_ok").alias("json_ok"),

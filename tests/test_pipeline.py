@@ -47,7 +47,14 @@ def test_validate_basic(spark, repo_df):
     total_err = sum(r["n_json_err"] for r in verd)
     assert total_err > 0
     failed = [r for r in verd if not r["passed"]]
-    assert failed  # corrupt docs force bucket failures
+    assert failed  # strict default: corrupt docs force bucket failures
+    # with an error tolerance above the ~1% corruption rate, parse dirt
+    # no longer fails buckets (violation rows still emitted)
+    tol = validate_repo_table(spark, repo_df, n_buckets=N_BUCKETS,
+                              max_err_rate=0.05)
+    tol_verd = tol.verdicts.collect()
+    assert all(r["passed"] for r in tol_verd)
+    assert sum(r["n_json_err"] for r in tol_verd) == total_err
     # every bucket got a merged schema; valid buckets' schema has pkg keys
     sch = json.loads(verd[0]["schema"])
     assert sch.get("type") == "object"
@@ -118,4 +125,30 @@ def test_constraint_report(spark, repo_df):
     rep = constraint_report(spark, repo_df, n_buckets=N_BUCKETS)
     assert rep["keys_unique"] is True
     assert rep["hll_ok"] is True
+    assert rep["n_ri_orphans"] == 0  # self-derived dim resolves all
     assert rep["worst_bucket_psi"] < 0.25  # buckets are hash-uniform
+
+
+def test_constraint_report_ri_orphans(spark, repo_df):
+    # an incomplete external dim: drop one repo -> its rows are orphans
+    full = repo_df.select("repo").distinct()
+    missing = full.orderBy("repo").limit(1).collect()[0]["repo"]
+    dims = full.where(F.col("repo") != missing)
+    rep = constraint_report(spark, repo_df, n_buckets=N_BUCKETS,
+                            repo_dims=dims)
+    expected = repo_df.where(F.col("repo") == missing).count()
+    assert rep["n_ri_orphans"] == expected > 0
+
+
+def test_drift_psi_report_matches_sql_path(spark, repo_df):
+    from schema_guru_spark.operators import constraints as C
+    from schema_guru_spark.pipeline import bucket_expr
+    slim = (repo_df.withColumn("bucket", bucket_expr(N_BUCKETS, 4))
+            .select("bucket", F.length("content").alias("clen")))
+    sql_path = {r["bucket"]: r["psi"]
+                for r in C.drift_by_partition(slim, "clen", "bucket").collect()}
+    fast_path = C.drift_psi_report(slim, "clen", "bucket")
+    assert set(sql_path) == set(fast_path)
+    for b in sql_path:
+        assert abs(sql_path[b] - fast_path[b]) < 1e-6, (b, sql_path[b],
+                                                        fast_path[b])

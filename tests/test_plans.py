@@ -61,16 +61,22 @@ def test_filter_pushdown_reaches_scan(tables):
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]" in plan
 
 
-def test_duplicate_keys_broadcast_nlj(tables):
+def test_duplicate_keys_local_pairs(tables):
+    # the data-scale stage is the distributed DISTINCT; the pair step is
+    # schema-cardinality and runs on the driver (reference parity:
+    # LevenshteinAnnotator is a driver-side pass). The result plan must
+    # therefore be a local table — no shuffled cartesian anywhere.
     df = S.duplicate_keys(tables["documents"], "source")
-    plan = plan_of(df)
-    # the quadratic side must be broadcast, never a shuffled cartesian
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    plan = plan_of(df, mode="simple")
+    assert ("LocalTableScan" in plan or "EmptyRelation" in plan
+            or "Scan ExistingRDD" in plan), plan
     assert "CartesianProduct" not in plan, plan
-    # scan is column-pruned (fresh parquet read) or served from the
-    # operator's own key cache (InMemoryTableScan) — both acceptable
-    assert ("ReadSchema: struct<source:string>" in plan
-            or "InMemoryTableScan" in plan), plan
+    # and it matches a from-scratch driver computation
+    from schema_guru_spark.core.levenshtein import get_duplicates
+    keys = {r.source for r in
+            tables["documents"].select("source").distinct().collect()
+            if r.source is not None and len(r.source) > 3}
+    assert {(r.key_a, r.key_b) for r in df.collect()} == get_duplicates(keys)
 
 
 def test_uniqueness_hashed_shuffles_hash_only(tables):
