@@ -52,8 +52,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
-    # warm the JVM + parquet footers once with a trivial action
+    # warm the JVM + parquet footers once with a trivial action, and
+    # spawn the Python worker pool (one worker per core) with a no-op
+    # pandas UDF so the first measured query doesn't pay pool startup —
+    # a per-process constant, not engine throughput
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).count()
+    spark.range(CPUS * 4, numPartitions=CPUS).mapInPandas(
+        lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
     total = 0.0
     for name in bench_names:
