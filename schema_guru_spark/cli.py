@@ -47,6 +47,9 @@ def main(argv=None) -> int:
     dp.add_argument("--output", default=".",
                     help="root for the sql/ + jsonpaths/ tree")
     dp.add_argument("--schema-name", default="atomic")
+    dp.add_argument("--force", action="store_true",
+                    help="overwrite files even if manually modified "
+                         "(K4 guarded overwrite, FileUtils.scala:70-98)")
     args = ap.parse_args(argv)
 
     if args.command == "ddl":
@@ -114,6 +117,7 @@ def _ddl_command(args) -> int:
     import glob
 
     from schema_guru_spark.operators.ddl import ddl_file_tree
+    from schema_guru_spark.sources.fileutils import write_to_file
 
     versions = []
     for p in sorted(glob.glob(os.path.join(args.input, "**", "*.json"),
@@ -128,13 +132,18 @@ def _ddl_command(args) -> int:
         versions.append((vendor, name, version, schema))
 
     tree = ddl_file_tree(versions, schema_name=args.schema_name)
+    rc = 0
     for rel, content in tree.items():
         dest = os.path.join(args.output, rel)
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        with open(dest, "w") as f:
-            f.write(content + "\n")
-        print(dest)
-    return 0
+        # K4 guarded overwrite (FileUtils.scala:70-98): never clobber a
+        # manually-edited file without --force
+        ok, msg = write_to_file(os.path.basename(dest),
+                                os.path.dirname(dest), content,
+                                force=args.force)
+        print(msg)
+        if not ok:
+            rc = 1
+    return rc
 
 
 if __name__ == "__main__":

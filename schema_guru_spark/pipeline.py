@@ -343,16 +343,30 @@ def constraint_report(spark: SparkSession, df: DataFrame,
                       F.xxhash64("repo", "path", "commit").alias("kh"))
               .persist())
     try:
-        # hashed screen: 8-byte shuffle rows instead of raw key strings
-        uniq = C.uniqueness_hashed(slim, ["kh"]).collect()[0]
-        # referential integrity: broadcast LEFT ANTI, facts never shuffled
+        slim.count()  # materialize the cache once, then fan out
         dims = (repo_dims if repo_dims is not None
                 else slim.select("repo").distinct())
-        n_orphans = C.referential_violations(
-            slim.select("repo"), dims, "repo", "repo").count()
-        # per-bucket PSI vs global: histogram shuffled (bounded rows),
-        # PSI math on the driver — see drift_psi_report
-        psi_by_bucket = C.drift_psi_report(slim, "clen", "bucket")
+        # the three checks are independent jobs over the same cached
+        # projection — submit them concurrently so their fixed stage
+        # latencies overlap instead of adding up (Spark's scheduler
+        # handles concurrent jobs from one session natively)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            # hashed screen: 8-byte shuffle rows, not raw key strings
+            f_uniq = ex.submit(
+                lambda: C.uniqueness_hashed(slim, ["kh"]).collect()[0])
+            # referential integrity: broadcast LEFT ANTI, facts never
+            # shuffled
+            f_ri = ex.submit(
+                lambda: C.referential_violations(
+                    slim.select("repo"), dims, "repo", "repo").count())
+            # per-bucket PSI vs global: histogram shuffled (bounded
+            # rows), PSI math on the driver — see drift_psi_report
+            f_psi = ex.submit(
+                lambda: C.drift_psi_report(slim, "clen", "bucket"))
+            uniq = f_uniq.result()
+            n_orphans = f_ri.result()
+            psi_by_bucket = f_psi.result()
         worst_psi = max(psi_by_bucket.values(), default=0.0)
     finally:
         slim.unpersist()
