@@ -23,7 +23,7 @@ Protocol:
      runs each; every leg does one unmeasured in-process warm-up pass)
   4. efficiency = thr_4N / (4 * thr_N); write BENCH/BASELINE.md
 
-Usage: python bench_scaling.py [--files 4000000] [--repeats 1]
+Usage: python bench_scaling.py [--files 8000000] [--repeats 1]
 """
 
 from __future__ import annotations
@@ -50,7 +50,7 @@ def run_leg(synth_dir: str, cpus: int, n_files: int, warmup: int = 1) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--files", type=int, default=4_000_000)
+    ap.add_argument("--files", type=int, default=8_000_000)
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--n-cores", type=int, default=2)
     args = ap.parse_args()
