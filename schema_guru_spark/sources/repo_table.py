@@ -25,8 +25,25 @@ LANGS = ("json", "py", "java", "go", "md")
 
 
 def synthesize_repo_table(spark: SparkSession, n_files: int,
-                          n_repos: int = 50, seed: int = 42) -> DataFrame:
-    df = spark.range(n_files).withColumn("_h", F.xxhash64("id", F.lit(seed)))
+                          n_repos: int = 50, seed: int = 42,
+                          dup_keys: int = 0) -> DataFrame:
+    """``dup_keys`` > 0 plants that many duplicate (repo, path, commit)
+    triples as ground truth for the uniqueness constraint (FIXTURES.md
+    §1): the last ``dup_keys`` rows reuse the key columns of the first
+    ``dup_keys`` rows (content stays their own), so
+    n_rows - n_distinct_keys == dup_keys exactly."""
+    key_id = (
+        F.when(F.col("id") >= n_files - dup_keys,
+               F.col("id") - (n_files - dup_keys))
+        .otherwise(F.col("id"))
+    ) if dup_keys else F.col("id")
+    # every KEY column (repo/path/commit/lang) derives from _k so a
+    # cloned key id reproduces the full key triple byte-identically;
+    # content values keep deriving from the row's own id
+    df = (spark.range(n_files)
+          .withColumn("_k", key_id)
+          .withColumn("_h", F.xxhash64("_k", F.lit(seed))))
+    k = F.col("_k")
     # skew: ~30% of rows to repo 0
     repo_idx = (
         F.when(F.pmod("_h", F.lit(10)) < 3, F.lit(0))
@@ -34,10 +51,10 @@ def synthesize_repo_table(spark: SparkSession, n_files: int,
     )
     # weighted langs: json 4/10, py 2/10, java 2/10, go 1/10, md 1/10
     lang = (
-        F.when(F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(10)) < 4, F.lit("json"))
-        .when(F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(10)) < 6, F.lit("py"))
-        .when(F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(10)) < 8, F.lit("java"))
-        .when(F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(10)) < 9, F.lit("go"))
+        F.when(F.pmod(F.xxhash64("_k", F.lit(seed + 1)), F.lit(10)) < 4, F.lit("json"))
+        .when(F.pmod(F.xxhash64("_k", F.lit(seed + 1)), F.lit(10)) < 6, F.lit("py"))
+        .when(F.pmod(F.xxhash64("_k", F.lit(seed + 1)), F.lit(10)) < 8, F.lit("java"))
+        .when(F.pmod(F.xxhash64("_k", F.lit(seed + 1)), F.lit(10)) < 9, F.lit("go"))
         .otherwise(F.lit("md"))
     )
     n = F.col("id")
@@ -75,8 +92,8 @@ def synthesize_repo_table(spark: SparkSession, n_files: int,
             F.format_string("org%d/repo%03d", F.pmod(repo_idx, F.lit(7)), repo_idx)
              .alias("repo"),
             F.format_string("src/%02d/file_%d.%s",
-                            F.pmod(n, F.lit(50)), n, lang).alias("path"),
-            F.sha2(F.concat(F.lit("commit"), n.cast("string"),
+                            F.pmod(k, F.lit(50)), k, lang).alias("path"),
+            F.sha2(F.concat(F.lit("commit"), k.cast("string"),
                             F.lit(seed).cast("string")), 256).substr(1, 40)
              .alias("commit"),
             lang.alias("lang"),
@@ -89,10 +106,29 @@ def synthesize_repo_table(spark: SparkSession, n_files: int,
 
 def write_repo_table(spark: SparkSession, path: str, n_files: int,
                      n_repos: int = 50, seed: int = 42,
-                     corrupt_shas: int = 0) -> None:
-    """Materialize to parquet. ``corrupt_shas`` > 0 flips the recorded
-    sha on that many deterministic rows (invariant-violation fixtures)."""
-    df = synthesize_repo_table(spark, n_files, n_repos, seed)
+                     corrupt_shas: int = 0, dup_keys: int = 0,
+                     drift_repo: str = None) -> None:
+    """Materialize to parquet, optionally planting constraint ground
+    truth (FIXTURES.md §1):
+
+      corrupt_shas  > 0: flip the recorded sha on that many
+                    deterministic rows (invariant-violation fixtures)
+      dup_keys      > 0: that many duplicate (repo,path,commit) triples
+      drift_repo    pad this repo's content to ~5x length, shifting the
+                    content-length distribution of the n_salts buckets
+                    its rows land in (drift-detection positive); the sha
+                    is recomputed so only the drift check fires
+    """
+    df = synthesize_repo_table(spark, n_files, n_repos, seed,
+                               dup_keys=dup_keys)
+    if drift_repo is not None:
+        df = df.withColumn(
+            "content",
+            F.when(F.col("repo") == drift_repo,
+                   F.concat(F.col("content"),
+                            F.repeat(F.lit(" padding-for-drift"), 60)))
+            .otherwise(F.col("content")),
+        ).withColumn("content_sha", F.sha2("content", 256))
     if corrupt_shas:
         bad = F.xxhash64("path") % (n_files // max(corrupt_shas, 1)) == 0
         df = df.withColumn(

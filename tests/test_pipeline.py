@@ -152,3 +152,46 @@ def test_drift_psi_report_matches_sql_path(spark, repo_df):
     for b in sql_path:
         assert abs(sql_path[b] - fast_path[b]) < 1e-6, (b, sql_path[b],
                                                         fast_path[b])
+
+
+def test_planted_duplicate_keys_detected(spark, tmp_path):
+    from schema_guru_spark.operators import constraints as C
+    from schema_guru_spark.sources.repo_table import write_repo_table
+    p = str(tmp_path / "repo_dups")
+    write_repo_table(spark, p, 600, n_repos=5, dup_keys=7)
+    df = spark.read.parquet(p)
+    uniq = C.uniqueness_exact(df, ["repo", "path", "commit"]).collect()[0]
+    assert uniq["n_rows"] == 600
+    assert uniq["n_duplicates"] == 7
+    assert uniq["is_unique"] is False
+    # the violating tuples are recoverable with their multiplicity
+    rows = C.duplicate_key_rows(df, ["repo", "path", "commit"]).collect()
+    assert len(rows) == 7
+    assert all(r["n_occurrences"] == 2 for r in rows)
+    # report pipeline sees them too (hashed screen)
+    rep = constraint_report(spark, df, n_buckets=N_BUCKETS)
+    assert rep["keys_unique"] is False
+    assert rep["n_rows"] - rep["n_exact_distinct"] == 7
+
+
+def test_planted_drift_detected(spark, tmp_path):
+    from schema_guru_spark.sources.repo_table import write_repo_table
+    base = str(tmp_path / "repo_base")
+    drift = str(tmp_path / "repo_drift")
+    write_repo_table(spark, base, 2000, n_repos=5)
+    target = spark.read.parquet(base).groupBy("repo").count() \
+        .orderBy(F.desc("count")).collect()[1]["repo"]  # 2nd-largest repo
+    write_repo_table(spark, drift, 2000, n_repos=5, drift_repo=target)
+    # 64 buckets x 8 salts: the padded repo concentrates in ~8 buckets
+    # (with only 8 buckets the salting would spread it everywhere and
+    # dilute the planted shift into the global distribution)
+    rep_base = constraint_report(spark, spark.read.parquet(base),
+                                 n_buckets=64)
+    rep_drift = constraint_report(spark, spark.read.parquet(drift),
+                                  n_buckets=64)
+    # sha invariant still holds on the padded table
+    df = spark.read.parquet(drift)
+    assert df.where(F.sha2("content", 256) != F.col("content_sha")).count() == 0
+    # the planted shift is visible and substantially above baseline
+    assert rep_drift["worst_bucket_psi"] > 3 * rep_base["worst_bucket_psi"]
+    assert rep_drift["worst_bucket_psi"] > 0.1
