@@ -141,6 +141,29 @@ class InferResult:
         return get_duplicates(extract_keys(self.state))
 
 
+def _widen_small_scan(src: DataFrame) -> DataFrame:
+    """A small input can plan fewer scan tasks than the session has
+    cores, serializing the Python derive pass. Widen it ONLY when a
+    task would carry substantial bytes: for tiny inputs the extra
+    exchange + per-task scheduling costs more than single-task derive
+    (measured 0.4s single-task vs 1.0s repartitioned on a 2 MB file),
+    while at production scale the scan already has >> cores splits and
+    neither branch fires — no shuffle is ever added there."""
+    spark = src.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    n_parts = src.rdd.getNumPartitions()
+    if n_parts < par:
+        try:
+            total_bytes = int(
+                src._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+        except Exception:  # stats API unavailable -> keep the plan as-is
+            total_bytes = 0
+        if total_bytes // max(n_parts, 1) > 8 * 1024 * 1024:
+            return src.repartition(par)
+    return src
+
+
 def infer_json_column(df: DataFrame, column: str, ctx: SchemaContext,
                       fanin: int = 64) -> InferResult:
     """Infer one merged schema for a JSON-bearing string column.
@@ -150,25 +173,7 @@ def infer_json_column(df: DataFrame, column: str, ctx: SchemaContext,
     run while P > fanin, each shrinking P by ``fanin``×.
     """
     spark = df.sparkSession
-    src = df.select(column)
-    # A small input can plan fewer scan tasks than the session has
-    # cores, serializing the Python derive pass. Widen it ONLY when a
-    # task would carry substantial bytes: for tiny inputs the extra
-    # exchange + per-task scheduling costs more than single-task derive
-    # (measured 0.4s single-task vs 1.0s repartitioned on a 2 MB file),
-    # while at production scale the scan already has >> cores splits and
-    # neither branch fires — no shuffle is ever added there.
-    par = spark.sparkContext.defaultParallelism
-    n_parts = src.rdd.getNumPartitions()
-    if n_parts < par:
-        try:
-            total_bytes = int(
-                df._jdf.queryExecution().optimizedPlan().stats()
-                  .sizeInBytes())
-        except Exception:  # stats API unavailable -> keep the plan as-is
-            total_bytes = 0
-        if total_bytes // max(n_parts, 1) > 8 * 1024 * 1024:
-            src = src.repartition(par)
+    src = _widen_small_scan(df.select(column))
     raw = src.mapInPandas(_derive_partial(ctx, column), _OUT_SCHEMA)
     raw = raw.persist()
     violations = raw.filter(F.col("kind") == _VIOLATION_KIND) \
@@ -194,31 +199,51 @@ def infer_json_column_by_key(df: DataFrame, column: str, key_col: str,
                              ctx: SchemaContext, n_salts: int = 8) -> DataFrame:
     """Per-key (segmented) schema inference — G1/A8 of SURVEY.md §2.
 
-    Two-phase salted aggregation:
-      phase 1: groupBy(key, salt) -> partial state per (key, salt)
-      phase 2: groupBy(key)       -> merge the ≤ n_salts tiny states
+    Phase 1 is MAP-SIDE: each scan task folds per-key accumulators for
+    the rows it already holds and emits one tiny (key, state) row per
+    key seen — the raw documents are NEVER shuffled. (The reference's
+    RDD.groupBy ships whole groups to single tasks,
+    JsonPathExtractorRDD.scala:74; an earlier salted groupBy here still
+    shuffled every row once.) Phase 2 shuffles only the states:
+    groupBy(key) merges <= #tasks rows per key, so a mega-key costs the
+    same as any other — skew cannot concentrate data movement.
+    ``n_salts`` is retained for API compatibility; map-side combine
+    makes salting unnecessary.
+
+    Map-side state is O(distinct keys present in the task) — for
+    segmentation-style keys (bounded cardinality) a few accumulators
+    per task; the worst case (all-unique keys) degrades to exactly the
+    old per-row state volume, never more.
 
     Returns DataFrame(key string, schema string, n_ok long, n_err long)
     where ``schema`` is the rendered JSON Schema (transforms applied).
     """
     part_schema = f"{key_col} string, payload string, n_ok bigint, n_err bigint"
 
-    def phase1(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from schema_guru_spark.core.accumulate import accumulate_doc
 
-        acc: dict = {}
-        n_ok, n_err = 0, 0
-        for text in pdf[column]:
-            try:
-                value = json.loads(text) if text is not None else None
-                if value is None:
-                    raise ValueError("null content")
-                accumulate_doc(acc, value, ctx)
-                n_ok += 1
-            except (ValueError, TypeError):
-                n_err += 1
-        return pd.DataFrame({key_col: [key[0]], "payload": [dumps(acc)],
-                             "n_ok": [n_ok], "n_err": [n_err]})
+        accs: dict = {}
+        counts: dict = {}
+        for pdf in batches:
+            for key, text in zip(pdf[key_col], pdf[column]):
+                st = accs.get(key)
+                if st is None:
+                    st = accs[key] = {}
+                    counts[key] = [0, 0]
+                try:
+                    value = json.loads(text) if text is not None else None
+                    if value is None:
+                        raise ValueError("null content")
+                    accumulate_doc(st, value, ctx)
+                    counts[key][0] += 1
+                except (ValueError, TypeError):
+                    counts[key][1] += 1
+        if accs:
+            yield pd.DataFrame(
+                [(k, dumps(a), counts[k][0], counts[k][1])
+                 for k, a in accs.items()],
+                columns=[key_col, "payload", "n_ok", "n_err"])
 
     def phase2(key, pdf: pd.DataFrame) -> pd.DataFrame:
         acc, n_ok, n_err = ZERO, 0, 0
@@ -234,8 +259,7 @@ def infer_json_column_by_key(df: DataFrame, column: str, key_col: str,
             "n_ok": [n_ok], "n_err": [n_err],
         })
 
-    salted = df.select(key_col, column).withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(column)), F.lit(n_salts)))
-    partial = salted.groupBy(key_col, "_salt").applyInPandas(phase1, part_schema)
+    src = _widen_small_scan(df.select(key_col, column))
+    partial = src.mapInPandas(phase1, part_schema)
     return partial.groupBy(key_col).applyInPandas(
         phase2, f"{key_col} string, schema string, n_ok bigint, n_err bigint")
