@@ -18,11 +18,11 @@ SQL aggregate (no recursive types), so the idiomatic Spark shape is:
      state rows total a few MB — the combine is never the bottleneck;
      the single data pass is.
 
-Segmented (per-key) inference uses the same partial state with a salted
-two-phase groupBy: (key, salt) partial -> (key) final, so a single hot
-key (mega-group) is split across ``n_salts`` tasks before the final
-cheap state-merge — replacing the reference's RDD.groupBy that ships
-whole groups to single tasks (JsonPathExtractorRDD.scala:74).
+Segmented (per-key) inference folds per-key accumulators map-side in
+each scan task, then shuffles only the tiny states (groupBy(key)) —
+replacing the reference's RDD.groupBy that ships whole groups to
+single tasks (JsonPathExtractorRDD.scala:74). A hot key costs the same
+as any other key, so skew cannot concentrate data movement.
 """
 
 from __future__ import annotations
@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from schema_guru_spark.core.context import SchemaContext
+from schema_guru_spark.core.json_fast import loads as fast_loads
 from schema_guru_spark.core.microschema import ZERO, derive, dumps, loads, merge
 from schema_guru_spark.core.transforms import apply_transforms, extract_keys
 from schema_guru_spark.core.levenshtein import get_duplicates
@@ -77,7 +78,7 @@ def _derive_partial(ctx: SchemaContext, column: str):
                 errs.extend(["null content"] * n_null)
             for text, cnt in zip(uniques, counts):
                 try:
-                    value = json.loads(text)
+                    value = fast_loads(text)
                 except (ValueError, TypeError) as e:
                     n_err += cnt
                     errs.extend([f"invalid JSON: {e}"] * cnt)
@@ -232,7 +233,7 @@ def infer_json_column_by_key(df: DataFrame, column: str, key_col: str,
                     st = accs[key] = {}
                     counts[key] = [0, 0]
                 try:
-                    value = json.loads(text) if text is not None else None
+                    value = fast_loads(text) if text is not None else None
                     if value is None:
                         raise ValueError("null content")
                     accumulate_doc(st, value, ctx)

@@ -44,6 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from schema_guru_spark.core.context import SchemaContext
+from schema_guru_spark.core.json_fast import loads as fast_loads
 from schema_guru_spark.core.microschema import ZERO, derive, dumps, loads, merge, render
 from schema_guru_spark.core.transforms import apply_transforms
 from schema_guru_spark.operators import constraints as C
@@ -131,7 +132,7 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
                     for u, (text, cnt) in enumerate(zip(uniques, counts)):
                         repo = first_repo.get(u, "")
                         try:
-                            value = json.loads(text)
+                            value = fast_loads(text)
                         except (ValueError, TypeError) as e:
                             c["n_json_err"] += cnt
                             errs.extend([(b, repo, "json",
