@@ -35,22 +35,32 @@ from schema_guru_spark.core.transforms import apply_transforms
 
 
 class IncrementalSchemaState:
-    """Driver-side cumulative state file: {state, n_ok, n_err}."""
+    """Driver-side cumulative state file:
+    {state, n_ok, n_err, last_batch_id}.
+
+    ``last_batch_id`` makes the foreachBatch sink idempotent:
+    Structured Streaming re-executes a batch (same batch_id) after a
+    failure between sink completion and checkpoint commit; without the
+    guard a replay would double-merge counters (the schema merge itself
+    is idempotent, the counts are not)."""
 
     def __init__(self, path: str):
         self.path = path
 
-    def read(self) -> Tuple[dict, int, int]:
+    def read(self) -> Tuple[dict, int, int, Optional[int]]:
         if os.path.exists(self.path):
             with open(self.path) as f:
                 d = json.load(f)
-            return d["state"], d["n_ok"], d["n_err"]
-        return ZERO, 0, 0
+            return (d["state"], d["n_ok"], d["n_err"],
+                    d.get("last_batch_id"))
+        return ZERO, 0, 0, None
 
-    def write(self, state: dict, n_ok: int, n_err: int) -> None:
+    def write(self, state: dict, n_ok: int, n_err: int,
+              batch_id: Optional[int] = None) -> None:
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"state": state, "n_ok": n_ok, "n_err": n_err}, f)
+            json.dump({"state": state, "n_ok": n_ok, "n_err": n_err,
+                       "last_batch_id": batch_id}, f)
         os.replace(tmp, self.path)
 
 
@@ -68,10 +78,12 @@ def run_incremental_inference(stream_df: DataFrame, column: str,
     store = IncrementalSchemaState(state_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        prev, ok, err, last_id = store.read()
+        if last_id is not None and batch_id <= last_id:
+            return  # replayed batch (failure between sink and commit)
         res = infer_json_column(batch_df, column, ctx)
-        prev, ok, err = store.read()
         merged = merge(prev, res.state, ctx)
-        store.write(merged, ok + res.n_ok, err + res.n_err)
+        store.write(merged, ok + res.n_ok, err + res.n_err, batch_id)
         rendered = render(apply_transforms(merged, ctx), ctx)
         with open(state_path + ".schema.json", "w") as f:
             json.dump(rendered, f, sort_keys=True)

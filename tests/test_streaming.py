@@ -35,7 +35,7 @@ def test_incremental_inference(spark, tmp_path):
 
     sch = json.load(open(state_path + ".schema.json"))
     assert sch["properties"]["a"]["type"] == "integer"
-    st, n_ok, n_err = IncrementalSchemaState(state_path).read()
+    st, n_ok, n_err, _last = IncrementalSchemaState(state_path).read()
     assert (n_ok, n_err) == (2, 0)
 
     # second batch arrives; restart stream from checkpoint -> merges
@@ -46,7 +46,7 @@ def test_incremental_inference(spark, tmp_path):
     sch = json.load(open(state_path + ".schema.json"))
     assert sch["properties"]["a"]["type"] == "number"  # int widened
     assert sch["properties"]["c"]["type"] == "null"
-    st, n_ok, n_err = IncrementalSchemaState(state_path).read()
+    st, n_ok, n_err, _last = IncrementalSchemaState(state_path).read()
     assert (n_ok, n_err) == (3, 1)
 
 
@@ -79,3 +79,18 @@ def test_keyed_schema_stream(spark, tmp_path):
     assert rows["click"]["n_ok"] == 2
     view = json.loads(rows["view"]["schema"])
     assert view["properties"]["z"]["type"] == "boolean"
+
+
+def test_incremental_state_replay_is_idempotent(tmp_path):
+    """A foreachBatch replay (same batch_id, failure between sink write
+    and checkpoint commit) must not double-merge counters."""
+    from schema_guru_spark.streaming.infer_stream import IncrementalSchemaState
+    p = str(tmp_path / "state.json")
+    store = IncrementalSchemaState(p)
+    st, ok, err, last = store.read()
+    assert (st, ok, err, last) == ({}, 0, 0, None)
+    store.write({"int": {"min": 1, "max": 2, "enum": None}}, 10, 1, 0)
+    st, ok, err, last = store.read()
+    assert ok == 10 and last == 0
+    # the guard a replayed batch hits:
+    assert last is not None and 0 <= last
