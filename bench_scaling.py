@@ -53,6 +53,8 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=8_000_000)
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--n-cores", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join("BENCH", "BASELINE.md"),
+                    help="report path relative to the repo root")
     args = ap.parse_args()
     n4 = args.n_cores * 4
 
@@ -99,8 +101,8 @@ def main() -> None:
     }
     print(json.dumps(report))
 
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    md = os.path.join(REPO, args.out)
+    os.makedirs(os.path.dirname(md), exist_ok=True)
     with open(md, "w") as f:
         f.write(f"""# BENCH/BASELINE — measured throughput + scaling efficiency
 
