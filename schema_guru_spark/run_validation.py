@@ -26,6 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=None, help="parquet path of repo table")
+    ap.add_argument("--table", default=None,
+                    help="catalog table name of the repo table (e.g. an "
+                         "Iceberg table via --packages "
+                         "org.apache.iceberg:iceberg-spark-runtime + "
+                         "catalog conf on spark-submit); Iceberg gives "
+                         "partition pruning + stats-based file skipping "
+                         "on the lang/repo filters for free")
     ap.add_argument("--synthesize", type=int, default=0,
                     help="generate N synthetic files instead of --input")
     ap.add_argument("--checkpoint", default=None)
@@ -69,10 +76,12 @@ def main(argv=None) -> dict:
                 .repartition(128) \
                 .write.mode("overwrite").parquet(synth_dir)
         df = spark.read.parquet(synth_dir)
+    elif args.table:
+        df = spark.read.table(args.table)
     elif args.input:
         df = spark.read.parquet(args.input)
     else:
-        ap.error("need --input or --synthesize")
+        ap.error("need --input, --table or --synthesize")
 
     if args.warmup and args.checkpoint:
         ap.error("--warmup and --checkpoint are mutually exclusive "

@@ -195,3 +195,18 @@ def test_planted_drift_detected(spark, tmp_path):
     # the planted shift is visible and substantially above baseline
     assert rep_drift["worst_bucket_psi"] > 3 * rep_base["worst_bucket_psi"]
     assert rep_drift["worst_bucket_psi"] > 0.1
+
+
+def test_run_validation_table_source(spark, repo_df, capsys):
+    """--table reads from the session catalog (Iceberg-style source);
+    getOrCreate in the runner reuses this test session, so a temp view
+    stands in for the catalog table."""
+    import json as _json
+    from schema_guru_spark.run_validation import main as run_main
+    repo_df.createOrReplaceTempView("repos_v")
+    out = run_main(["--table", "repos_v", "--buckets", "4",
+                    "--cpus", "4"])
+    assert out["rows"] == N_FILES
+    assert out["json_ok"] > 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert _json.loads(line)["rows"] == N_FILES
