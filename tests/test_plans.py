@@ -92,3 +92,57 @@ def test_group_with_latest_single_shuffle(tables):
                              ["o_orderdate", "o_orderkey"])
     plan = plan_of(df, mode="simple")
     assert plan.count("Exchange") == 1  # one shuffle on the window key
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    from schema_guru_spark.operators import dedup as D
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = D.minhash_lsh_pairs(docs, "doc_id", "text")
+    plan = plan_of(df, mode="simple")
+    # candidate pairs come from the band-bucket equi-join, never a
+    # cross join of documents
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cosine_topk_stays_jvm_side(spark, sf_dir):
+    from schema_guru_spark.operators import similarity as SIM
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [0.1] * len(emb.select("embedding").first()["embedding"])
+    df = SIM.cosine_topk(emb, q, "embedding", "vec_id", k=5)
+    plan = plan_of(df)
+    # the dot product is F.aggregate/zip_with — JVM expressions, no
+    # Python in the hot path (higher-order fns are interpreted, not
+    # codegen'd, so we assert absence of Python eval instead)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    # top-k is TakeOrderedAndProject — per-partition heaps + driver
+    # merge, never a global sort-then-limit
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "ReadSchema: struct<vec_id:bigint,embedding" in plan, plan
+
+
+def test_quality_scores_no_python(spark, sf_dir):
+    from schema_guru_spark.operators import textstats as T
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(T.quality_scores(docs, "text", "doc_id"))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ReadSchema: struct<doc_id" in plan  # pruned to used columns
+
+
+def test_exact_duplicates_single_shuffle(spark, sf_dir):
+    from schema_guru_spark.operators import dedup as D
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(D.exact_duplicates(docs, "text", "doc_id"),
+                   mode="simple")
+    # one shuffle on the content digest; no Python, no content in the
+    # exchange (digest + id only)
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # digest groupBy (+AQE sort)
+
+
+def test_segment_counts_pruned_scan(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(S.segment_counts(events, "props", "$.k"))
+    assert "ReadSchema: struct<props:string>" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
