@@ -155,8 +155,9 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
                   g1, g2) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic: max |CDF₁ - CDF₂| over the
     pooled sample, computed with window functions (rank-based — no
-    sketches needed for exactness; for 100 TB swap in percentile_approx
-    t-digest cut-points and compare sketch CDFs — see drift_verdict).
+    sketches needed for exactness; for 100 TB use
+    ``ks_two_sample_sketch`` — same statistic from mergeable quantile
+    sketches, one aggregation pass).
 
     Tie-correct: counts are aggregated PER DISTINCT VALUE first (the CDF
     is only evaluated at jump points), so the window runs over the tiny
@@ -276,3 +277,48 @@ def drift_psi_report(df: DataFrame, value_col: str, part_col: str,
                 s += (pp - pg) * math.log(pp / pg)
         out[p] = round(s, 6)
     return out
+
+
+def ks_two_sample_sketch(df: DataFrame, value_col: str, group_col: str,
+                         g1, g2, n_quantiles: int = 200,
+                         accuracy: int = 10000) -> float:
+    """Sketch-based two-sample KS — the 100 TB path promised by
+    ``ks_two_sample``'s docstring: ONE aggregation pass computes each
+    group's quantile sketch via ``percentile_approx`` (Spark's
+    QuantileSummaries — the t-digest-style mergeable quantile sketch,
+    map-side combined like any aggregate), then the KS statistic is the
+    max CDF gap over the pooled cut-points, evaluated on the driver
+    over ~2*n_quantiles floats.
+
+    Exactness: error is bounded by sketch accuracy + 1/n_quantiles;
+    with the defaults the statistic lands within ~0.01 of the exact
+    rank-based value (pinned by test_ks_sketch_close_to_exact). Unlike
+    the exact path there is no per-distinct-value shuffle — the only
+    data movement is the aggregate's partial sketches.
+    """
+    import bisect
+
+    c = F.col(value_col)
+    qs = [i / n_quantiles for i in range(n_quantiles + 1)]
+    rows = (df.where(F.col(group_col).isin([g1, g2]) & c.isNotNull())
+              .groupBy(group_col)
+              .agg(F.percentile_approx(value_col, qs, accuracy).alias("qv"))
+              .collect())
+    sk = {r[group_col]: list(r["qv"]) for r in rows}
+    if g1 not in sk or g2 not in sk:
+        return 0.0
+    a, b = sk[g1], sk[g2]
+
+    def cdf(qv, x):
+        # step-CDF estimate from a quantile vector: fraction of levels
+        # whose cut-point is <= x
+        return bisect.bisect_right(qv, x) / (len(qv) - 1)
+
+    # evaluate BOTH step-CDFs at every pooled cut-point with the same
+    # estimator — using the quantile level i/m directly is biased on
+    # tied cut-points (integer-valued columns), where one value spans
+    # many levels
+    gap = 0.0
+    for x in set(a) | set(b):
+        gap = max(gap, abs(cdf(a, x) - cdf(b, x)))
+    return min(gap, 1.0)

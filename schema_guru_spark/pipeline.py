@@ -6,8 +6,10 @@ Over an Iceberg/parquet table (repo, path, commit, lang, content
   verdicts:   one row per bucket — counters, merged JSON schema of the
               bucket's JSON content, drift PSI, pass/fail
   violations: rows keyed (repo, lang, bucket, kind, detail) — parse
-              errors, sha256 invariant mismatches, disallowed langs,
-              duplicate (repo,path,commit) keys, RI orphans
+              errors, sha256 invariant mismatches, disallowed langs
+              (from the scan pass); duplicate (repo,path,commit) keys
+              and RI orphans via ``key_violation_rows`` (column-pruned
+              key scans, same row shape)
 
 Scale design (the whole point):
 
@@ -382,3 +384,38 @@ def constraint_report(spark: SparkSession, df: DataFrame,
         "n_ri_orphans": n_orphans,
         "worst_bucket_psi": float(worst_psi),
     }
+
+
+def key_violation_rows(df: DataFrame, repo_dims: Optional[DataFrame] = None,
+                       n_buckets: int = 64, n_salts: int = 8,
+                       max_examples: int = 1000) -> DataFrame:
+    """Key-level violation ROWS, same shape as the scan-pass violations
+    sink (bucket, repo, lang, detail):
+
+      duplicate (repo, path, commit) tuples  -> detail 'duplicate key: ...'
+      RI orphans vs the repo dimension       -> detail 'ri orphan repo'
+
+    Both are column-pruned scans (never read content). Output is capped
+    at ``max_examples`` per kind — violation EXAMPLES for humans; the
+    full counts live in constraint_report.
+    """
+    dup = (df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
+             .groupBy("repo", "path", "commit", "lang", "bucket")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .where(F.col("n") > 1)
+             .limit(max_examples)
+             .select("bucket", "repo", "lang",
+                     F.format_string("duplicate key: %s@%s x%d",
+                                     F.col("path"), F.col("commit"),
+                                     F.col("n")).alias("detail")))
+    if repo_dims is not None:
+        orphans = (C.referential_violations(
+                       df.select("repo", "path", "lang"), repo_dims,
+                       "repo", "repo")
+                   .limit(max_examples)
+                   .withColumn("bucket", F.lit(None).cast("int"))
+                   .select("bucket", "repo", "lang",
+                           F.format_string("ri orphan repo: %s",
+                                           F.col("path")).alias("detail")))
+        return dup.unionByName(orphans)
+    return dup

@@ -210,3 +210,38 @@ def test_run_validation_table_source(spark, repo_df, capsys):
     assert out["json_ok"] > 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert _json.loads(line)["rows"] == N_FILES
+
+
+def test_key_violation_rows(spark, tmp_path):
+    from schema_guru_spark.pipeline import key_violation_rows
+    from schema_guru_spark.sources.repo_table import write_repo_table
+    p = str(tmp_path / "repo_kv")
+    write_repo_table(spark, p, 400, n_repos=5, dup_keys=3)
+    df = spark.read.parquet(p)
+    rows = key_violation_rows(df).collect()
+    assert len(rows) == 3
+    assert all(r["detail"].startswith("duplicate key: ") for r in rows)
+    # with an incomplete dim, orphan rows appear too
+    dims = df.select("repo").distinct().orderBy("repo").limit(3)
+    missing = 5 - 3  # repos not in the dim
+    rows2 = key_violation_rows(df, repo_dims=dims).collect()
+    kinds = {r["detail"].split(":")[0] for r in rows2}
+    assert kinds == {"duplicate key", "ri orphan repo"}
+
+
+def test_ks_sketch_close_to_exact(spark, sf_dir):
+    from schema_guru_spark.operators import constraints as C
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = C.ks_two_sample(li, "l_quantity", "l_linestatus",
+                            "O", "F").collect()[0]["ks_stat"]
+    approx = C.ks_two_sample_sketch(li, "l_quantity", "l_linestatus",
+                                    "O", "F")
+    assert abs(approx - exact) < 0.02, (approx, exact)
+    # a genuinely shifted pair must register a large statistic
+    shifted = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_linestatus") == "O",
+               F.col("l_quantity") + 30).otherwise(F.col("l_quantity")))
+    big = C.ks_two_sample_sketch(shifted, "l_quantity", "l_linestatus",
+                                 "O", "F")
+    assert big > 0.5
