@@ -146,3 +146,17 @@ def test_segment_counts_pruned_scan(spark, sf_dir):
     plan = plan_of(S.segment_counts(events, "props", "$.k"))
     assert "ReadSchema: struct<props:string>" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_by_key_inference_single_state_shuffle(spark, sf_dir):
+    from schema_guru_spark.core.context import SchemaContext
+    from schema_guru_spark.operators.infer import infer_json_column_by_key
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = infer_json_column_by_key(events, "props", "event_type",
+                                  SchemaContext.make(0))
+    plan = plan_of(df, mode="simple")
+    # raw documents never shuffle: the ONLY exchange is the tiny
+    # per-(task, key) state rows into groupBy(key)
+    assert plan.count("Exchange") == 1, plan
+    assert "ReadSchema: struct<event_type:string,props:string>" in \
+        plan_of(df)
