@@ -30,7 +30,8 @@ def main(argv=None) -> int:
     sp.add_argument("input")
     sp.add_argument("--output", default=None)
     sp.add_argument("--ndjson", action="store_true")
-    sp.add_argument("--enum-cardinality", type=int, default=0)
+    sp.add_argument("--enum-cardinality", "--enum", dest="enum_cardinality",
+                    type=int, default=0)
     sp.add_argument("--enum-sets", nargs="*", default=[])
     sp.add_argument("--no-length", action="store_true")
     sp.add_argument("--schema-by", default=None,
@@ -38,6 +39,9 @@ def main(argv=None) -> int:
     sp.add_argument("--errors-path", default=None)
     sp.add_argument("--vendor", default=None)
     sp.add_argument("--name", default=None)
+    sp.add_argument("--schemaver", default="1-0-0",
+                    help="version for the self-describing header "
+                         "(MODEL-REVISION-ADDITION; Parser.scala:85-97)")
     sp.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "4")))
 
@@ -46,7 +50,22 @@ def main(argv=None) -> int:
     dp.add_argument("input", help="dir of self-describing JSON Schema files")
     dp.add_argument("--output", default=".",
                     help="root for the sql/ + jsonpaths/ tree")
-    dp.add_argument("--schema-name", default="atomic")
+    dp.add_argument("--schema-name", "--schema", dest="schema_name",
+                    default="atomic")
+    dp.add_argument("--db", default="redshift",
+                    help="target database (only redshift supported, "
+                         "like the reference — Parser.scala:146-150)")
+    dp.add_argument("--varchar-size", type=int, default=4096)
+    dp.add_argument("--with-json-paths", action="store_true",
+                    help="also emit jsonpaths/ files (reference default "
+                         "is off)")
+    dp.add_argument("--raw-mode", action="store_true",
+                    help="inputs are plain (non-self-describing) JSON "
+                         "Schemas")
+    dp.add_argument("--split-product", action="store_true",
+                    help="split product types into one column per kind")
+    dp.add_argument("--no-header", action="store_true",
+                    help="omit the generated-file header comment")
     dp.add_argument("--force", action="store_true",
                     help="overwrite files even if manually modified "
                          "(K4 guarded overwrite, FileUtils.scala:70-98)")
@@ -84,14 +103,16 @@ def main(argv=None) -> int:
         for r in rows:
             sch = json.loads(r["schema"])
             if args.vendor and args.name:
-                sch = describe(sch, args.vendor, f"{args.name}.{r['segment']}")
+                sch = describe(sch, args.vendor, f"{args.name}.{r['segment']}",
+                               args.schemaver)
             result[r["segment"]] = sch
         payload = json.dumps(result, indent=2, sort_keys=True)
     else:
         res = infer_json_column(docs, "content", ctx)
         schema = res.schema(ctx)
         if args.vendor and args.name:
-            schema = describe(schema, args.vendor, args.name)
+            schema = describe(schema, args.vendor, args.name,
+                              args.schemaver)
         if args.errors_path and res.n_err:
             res.violations.write.mode("overwrite").parquet(args.errors_path)
         elif res.n_err:
@@ -119,19 +140,31 @@ def _ddl_command(args) -> int:
     from schema_guru_spark.operators.ddl import ddl_file_tree
     from schema_guru_spark.sources.fileutils import write_to_file
 
+    if args.db != "redshift":
+        print(f"error: DDL generation for {args.db} is not supported "
+              "(redshift only, like the reference)", file=sys.stderr)
+        return 1
+
     versions = []
     for p in sorted(glob.glob(os.path.join(args.input, "**", "*.json"),
                               recursive=True)):
         with open(p) as f:
             doc = json.load(f)
-        self_desc = doc.get("self", {})
-        vendor = self_desc.get("vendor", "com.unknown")
-        name = self_desc.get("name", os.path.splitext(os.path.basename(p))[0])
+        self_desc = {} if args.raw_mode else doc.get("self", {})
+        default_name = os.path.splitext(os.path.basename(p))[0]
+        # raw mode (DdlCommand.scala:203-216): plain JSON Schemas, no
+        # self-describing envelope — names come from the file, no vendor
+        vendor = "" if args.raw_mode else self_desc.get("vendor", "com.unknown")
+        name = self_desc.get("name", default_name)
         version = self_desc.get("version", "1-0-0")
         schema = {k: v for k, v in doc.items() if k not in ("self", "$schema")}
         versions.append((vendor, name, version, schema))
 
-    tree = ddl_file_tree(versions, schema_name=args.schema_name)
+    tree = ddl_file_tree(versions, schema_name=args.schema_name,
+                         varchar_size=args.varchar_size,
+                         with_json_paths=args.with_json_paths,
+                         split_product=args.split_product,
+                         no_header=args.no_header)
     rc = 0
     for rel, content in tree.items():
         dest = os.path.join(args.output, rel)

@@ -30,13 +30,15 @@ def _snakify(name: str) -> str:
     return re.sub(r"([^A-Z_])([A-Z])", r"\1_\2", name).lower().replace(".", "_")
 
 
-def sql_type(prop: dict) -> str:
-    """JSON Schema property -> SQL column type (schema-ddl behavior)."""
+def sql_type(prop: dict, varchar_size: int = 4096) -> str:
+    """JSON Schema property -> SQL column type (schema-ddl behavior).
+    ``varchar_size`` is the default width for strings without a
+    maxLength (reference --varchar-size, DdlCommand.scala:151-155)."""
     t = prop.get("type")
     types = t if isinstance(t, list) else [t]
     types = [x for x in types if x != "null"]
     if len(types) != 1:
-        return "VARCHAR(4096)"  # product/unknown -> widest
+        return f"VARCHAR({varchar_size})"  # product/unknown -> widest
     t = types[0]
     if t == "string":
         fmt = prop.get("format")
@@ -46,7 +48,7 @@ def sql_type(prop: dict) -> str:
             width = max(len(str(v)) for v in prop["enum"])
             return f"VARCHAR({max(width, 1)})"
         ml = prop.get("maxLength")
-        return f"VARCHAR({ml})" if ml else "VARCHAR(4096)"
+        return f"VARCHAR({ml})" if ml else f"VARCHAR({varchar_size})"
     if t == "integer":
         mx = prop.get("maximum")
         if mx is not None:
@@ -59,27 +61,53 @@ def sql_type(prop: dict) -> str:
         return "DOUBLE PRECISION"
     if t == "boolean":
         return "BOOLEAN"
-    return "VARCHAR(4096)"
+    return f"VARCHAR({varchar_size})"
+
+
+DDL_HEADER = """-- AUTO-GENERATED. Generation accuracy is not guaranteed.
+-- Please refer to the original JSON Schema before editing.
+"""
+
+
+def _column_types(prop: dict, varchar_size: int,
+                  split_product: bool) -> List[Tuple[str, str]]:
+    """(suffix, sql_type) pairs for one property. With split_product
+    (reference --split-product, DdlCommand.scala:164-167) a product
+    type like ["string","integer"] becomes one column per kind,
+    suffixed _string/_integer; otherwise one widest column."""
+    t = prop.get("type")
+    types = [x for x in (t if isinstance(t, list) else [t]) if x != "null"]
+    if split_product and len(types) > 1:
+        return [(f"_{x}", sql_type({**prop, "type": x}, varchar_size))
+                for x in types]
+    return [("", sql_type(prop, varchar_size))]
 
 
 def table_ddl(json_schema: dict, vendor: str, name: str,
               schema_name: str = "atomic",
-              version: str = "1-0-0") -> str:
+              version: str = "1-0-0", varchar_size: int = 4096,
+              split_product: bool = False,
+              no_header: bool = False) -> str:
     """CREATE TABLE DDL from a (possibly nested) JSON Schema — nested
     paths flattened to snake_case columns in property order
-    (DdlCommand.scala:94-161)."""
+    (DdlCommand.scala:94-161). Header comment suppressed by
+    ``no_header`` (DdlCommand.scala:229)."""
     flat = flatten_properties(json_schema)
-    table = f"{schema_name}.{_snakify(vendor)}_{_snakify(name)}_{SchemaVer.parse(version).model}"
+    prefix = f"{_snakify(vendor)}_" if vendor else ""
+    table = f"{schema_name}.{prefix}{_snakify(name)}_{SchemaVer.parse(version).model}"
     required = set(json_schema.get("required", []))
     cols = []
     for path, prop in flat.items():
         col = _snakify(path)
         null = " NOT NULL" if path in required else ""
-        cols.append(f'    "{col}" {sql_type(prop)}{null}')
+        for suffix, typ in _column_types(prop, varchar_size, split_product):
+            cols.append(f'    "{col}{suffix}" {typ}{null}')
     body = ",\n".join(cols)
-    return (f"CREATE TABLE IF NOT EXISTS {table} (\n{body}\n)\n"
-            f"DISTSTYLE KEY\nSORTKEY (\"{cols and _snakify(next(iter(flat)))}\");"
-            if cols else f"CREATE TABLE IF NOT EXISTS {table} ();")
+    header = "" if no_header else DDL_HEADER + "\n"
+    return header + (
+        f"CREATE TABLE IF NOT EXISTS {table} (\n{body}\n)\n"
+        f"DISTSTYLE KEY\nSORTKEY (\"{cols and _snakify(next(iter(flat)))}\");"
+        if cols else f"CREATE TABLE IF NOT EXISTS {table} ();")
 
 
 def jsonpaths(json_schema: dict) -> List[str]:
@@ -107,15 +135,25 @@ def migration_sql(m: Migration, json_schema_target: dict,
 
 
 def ddl_file_tree(versions: List[Tuple[str, str, str, dict]],
-                  schema_name: str = "atomic") -> Dict[str, str]:
+                  schema_name: str = "atomic",
+                  varchar_size: int = 4096,
+                  with_json_paths: bool = True,
+                  split_product: bool = False,
+                  no_header: bool = False) -> Dict[str, str]:
     """The sql/vendor/name/... output layout (DdlCommand.scala:251-268,
     Migrations.scala:244-256) as a {relative_path: content} dict —
-    callers write it wherever (K5)."""
+    callers write it wherever (K5). ``with_json_paths`` gates the
+    jsonpaths/ files (reference --with-json-paths, off by default in
+    the reference CLI; kept on here for API compatibility)."""
     out: Dict[str, str] = {}
     for vendor, name, ver, schema in versions:
         sv = SchemaVer.parse(ver)
         out[f"sql/{vendor}/{name}_{sv.model}.sql"] = table_ddl(
-            schema, vendor, name, schema_name, ver)
+            schema, vendor, name, schema_name, ver,
+            varchar_size=varchar_size, split_product=split_product,
+            no_header=no_header)
+        if not with_json_paths:
+            continue
         out[f"jsonpaths/{vendor}/{name}_{sv.model}.json"] = "\n".join(
             ['{', '    "jsonpaths": ['] +
             [f'        "{p}",' for p in jsonpaths(schema)[:-1]] +

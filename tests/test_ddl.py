@@ -75,3 +75,54 @@ def test_ddl_file_tree():
     assert "sql/com.acme/migrate_event_1-0-0_to_1-0-1.sql" in tree
     jp = tree["jsonpaths/com.acme/event_1.json"]
     assert jp.startswith("{") and '"jsonpaths": [' in jp
+
+
+def test_varchar_size_option():
+    assert D.sql_type({"type": "string"}, varchar_size=1024) == "VARCHAR(1024)"
+    assert D.sql_type({"type": ["string", "integer"]},
+                      varchar_size=512) == "VARCHAR(512)"
+
+
+def test_split_product_columns():
+    schema = {"type": "object",
+              "properties": {"v": {"type": ["string", "integer"]}}}
+    joined = D.table_ddl(schema, "com.acme", "ev", no_header=True)
+    assert '"v" VARCHAR(4096)' in joined
+    split = D.table_ddl(schema, "com.acme", "ev", split_product=True,
+                        no_header=True)
+    assert '"v_string" VARCHAR(4096)' in split
+    assert '"v_integer" BIGINT' in split
+
+
+def test_header_and_no_header():
+    schema = {"type": "object", "properties": {"a": {"type": "integer"}}}
+    with_h = D.table_ddl(schema, "com.acme", "ev")
+    assert with_h.startswith("-- AUTO-GENERATED")
+    without = D.table_ddl(schema, "com.acme", "ev", no_header=True)
+    assert without.startswith("CREATE TABLE")
+
+
+def test_tree_jsonpaths_gate():
+    schema = {"type": "object", "properties": {"a": {"type": "integer"}}}
+    tree = D.ddl_file_tree([("com.acme", "ev", "1-0-0", schema)],
+                           with_json_paths=False)
+    assert not any(p.startswith("jsonpaths/") for p in tree)
+
+
+def test_cli_ddl_options(tmp_path):
+    import json as _json
+    from schema_guru_spark.cli import main
+    src = tmp_path / "schemas"
+    src.mkdir()
+    (src / "thing.json").write_text(_json.dumps({
+        "type": "object", "properties": {"id": {"type": "integer"}}}))
+    out = tmp_path / "out"
+    # raw mode: no self envelope, no vendor prefix, header off
+    assert main(["ddl", str(src), "--output", str(out), "--raw-mode",
+                 "--no-header", "--varchar-size", "1024"]) == 0
+    sql = next(out.rglob("*.sql")).read_text()
+    assert "atomic.thing_1" in sql
+    assert "AUTO-GENERATED" not in sql
+    # unsupported db errors like the reference
+    assert main(["ddl", str(src), "--output", str(out),
+                 "--db", "postgres"]) == 1
