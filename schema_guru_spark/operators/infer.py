@@ -152,16 +152,22 @@ def _widen_small_scan(src: DataFrame) -> DataFrame:
     neither branch fires — no shuffle is ever added there."""
     spark = src.sparkSession
     par = spark.sparkContext.defaultParallelism
+    try:
+        total_bytes = int(
+            src._jdf.queryExecution().optimizedPlan().stats()
+               .sizeInBytes())
+    except Exception:  # stats API unavailable -> keep the plan as-is
+        return src
+    # cheap size check FIRST: tiny inputs (the common small-SF case)
+    # skip the .rdd partition-count probe entirely — converting the
+    # plan to an RDD costs a plan compilation. Worst case a single
+    # split carries all bytes, so anything <= the per-task threshold
+    # can never need widening.
+    if total_bytes <= 8 * 1024 * 1024:
+        return src
     n_parts = src.rdd.getNumPartitions()
-    if n_parts < par:
-        try:
-            total_bytes = int(
-                src._jdf.queryExecution().optimizedPlan().stats()
-                   .sizeInBytes())
-        except Exception:  # stats API unavailable -> keep the plan as-is
-            total_bytes = 0
-        if total_bytes // max(n_parts, 1) > 8 * 1024 * 1024:
-            return src.repartition(par)
+    if n_parts < par and total_bytes // max(n_parts, 1) > 8 * 1024 * 1024:
+        return src.repartition(par)
     return src
 
 
