@@ -245,3 +245,13 @@ def test_ks_sketch_close_to_exact(spark, sf_dir):
     big = C.ks_two_sample_sketch(shifted, "l_quantity", "l_linestatus",
                                  "O", "F")
     assert big > 0.5
+
+
+def test_bucket_balance_under_megarepo_skew(spark, repo_df):
+    """The salted bucketing must keep the mega-repo (~30% of rows) from
+    hot-spotting: no bucket may exceed a small multiple of the mean."""
+    counts = [r["n"] for r in
+              (repo_df.withColumn("b", bucket_expr(64, 8))
+               .groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect())]
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 5 * mean, (max(counts), mean)
