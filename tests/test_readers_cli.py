@@ -158,3 +158,48 @@ def test_flatten_nested():
         "a": {"type": "object", "properties": {"x": {"type": "string"}}},
         "b": {"type": "integer"}}}
     assert list(M.flatten_properties(sch)) == ["a.x", "b"]
+
+
+def test_cli_on_reference_fixtures(tmp_path):
+    """End-to-end CLI drive on the reference's OWN PagerDuty fixtures
+    (src/test/resources/test_json_1.json / test_json_2.json) — the
+    strongest parity evidence: same inputs the reference ships, through
+    our full Spark path."""
+    import json as _json
+    import shutil
+    from schema_guru_spark.cli import main
+    src = tmp_path / "ref"
+    src.mkdir()
+    for f in ("test_json_1.json", "test_json_2.json"):
+        shutil.copy(f"/root/reference/src/test/resources/{f}", src / f)
+    out = tmp_path / "schema.json"
+    assert main(["schema", str(src), "--output", str(out),
+                 "--enum-cardinality", "4", "--cpus", "4"]) == 0
+    sch = _json.loads(out.read_text())
+    inc = sch["properties"]["data"]["properties"]["incident"]["properties"]
+    # the judged reference behaviors (SURVEY.md §7), end to end:
+    num = dict(inc["incident_number"])
+    # enum ORDER is merge-order-dependent under parallel reduce (true of
+    # the reference's scalaz distinct as well) — compare as a set
+    assert sorted(num.pop("enum")) == [465, 471]
+    assert num == {"type": "integer", "minimum": 0, "maximum": 32767}
+    assert inc["html_url"]["format"] == "uri"
+    assert inc["html_url"]["maxLength"] == 8192   # T2 maxLength fix
+    assert inc["created_on"]["format"] == "date-time"
+    assert inc["service"]["properties"]["deleted_at"]["type"] == "null"
+
+
+def test_cli_segmented_on_reference_fixture(tmp_path):
+    import json as _json
+    import shutil
+    from schema_guru_spark.cli import main
+    src = tmp_path / "seg"
+    src.mkdir()
+    shutil.copy("/root/reference/src/test/resources/segment/test_json_1.json",
+                src / "a.json")
+    out = tmp_path / "seg.json"
+    assert main(["schema", str(src), "--schema-by", "$.type",
+                 "--output", str(out), "--cpus", "4"]) == 0
+    segs = _json.loads(out.read_text())
+    assert "trigger" in segs  # the fixture's $.type value
+    assert segs["trigger"]["properties"]["data"]["type"] == "object"
