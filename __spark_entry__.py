@@ -168,6 +168,11 @@ def q_quality_docs(spark, sf):
     return TS.quality_scores(_t(spark, sf, "documents"), "text", "doc_id")
 
 
+def q_pii_docs(spark, sf):
+    return TS.pii_scan(_t(spark, sf, "documents"), "text", "doc_id") \
+             .orderBy("id")
+
+
 def q_fingerprint_md5_docs(spark, sf):
     return TS.fingerprints(_t(spark, sf, "documents"), "text", "doc_id") \
              .select("id", "content_md5")
@@ -190,6 +195,13 @@ def q_minhash_pairs_docs(spark, sf):
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     return D.minhash_lsh_pairs(docs, "doc_id", "text", min_est_jaccard=0.8) \
             .orderBy("id_a", "id_b")
+
+
+def q_near_dup_clusters_docs(spark, sf):
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text",
+                                min_est_jaccard=0.8)
+    return D.near_duplicate_clusters(pairs).orderBy("id")
 
 
 def q_simhash_fp_docs(spark, sf):
@@ -247,10 +259,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_docs": q_token_stats_docs,
         "lang_id_docs": q_lang_id_docs,
         "quality_docs": q_quality_docs,
+        "pii_docs": q_pii_docs,
         "fingerprint_md5_docs": q_fingerprint_md5_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "drift_price_by_returnflag": q_drift_price_by_returnflag,
         "minhash_pairs_docs": q_minhash_pairs_docs,
+        "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "simhash_fp_docs": q_simhash_fp_docs,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "fingerprint_winnow_docs": q_fingerprint_winnow_docs,
@@ -485,6 +499,19 @@ def oracle_sql() -> dict[str, str]:
                                    AND mean_word_len <= 12.0
                                   THEN 1.0 ELSE 0.0 END), 6) AS quality
             FROM derived ORDER BY id
+        """,
+        "pii_docs": r"""
+            SELECT doc_id AS id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text,
+                       '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phone,
+                   len(regexp_extract_all(text,
+                       '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+                   len(regexp_extract_all(text,
+                       '(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}')) AS n_ipv4,
+                   (n_email + n_phone + n_ssn + n_ipv4) > 0 AS has_pii
+            FROM documents ORDER BY id
         """,
         "fingerprint_md5_docs": r"""
             SELECT doc_id AS id,

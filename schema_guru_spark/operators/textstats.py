@@ -118,3 +118,34 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
         F.md5(norm).alias("content_md5"),
         F.array_min(window_hashes).alias("winnow_min"),
     ).orderBy("id")
+
+
+# PII patterns — cross-engine (Spark regexp_count / DuckDB) regexes.
+# Deliberately simple-and-auditable shapes; production deployments swap
+# in their own pattern registry.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+PII_IPV4_RE = (r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+               r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}")
+
+
+def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document PII indicator counts (emails, phone-shaped numbers,
+    SSN-shaped ids, embedded ipv4) — the redaction-triage pass a
+    training-data pipeline runs before release. Pure JVM regexp_count
+    inside codegen; one pass, no shuffle; each count is an independent
+    column so downstream policy (drop / redact / flag) filters push
+    down to the scan."""
+    c = F.col(text_col)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)).alias("n_phone"),
+        F.regexp_count(c, F.lit(PII_SSN_RE)).alias("n_ssn"),
+        F.regexp_count(c, F.lit(PII_IPV4_RE)).alias("n_ipv4"),
+    )
+    return out.withColumn(
+        "has_pii",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ssn")
+         + F.col("n_ipv4")) > 0)

@@ -104,3 +104,35 @@ def test_minhash_lsh_on_documents(docs):
     pairs = D.minhash_lsh_pairs(docs.limit(200), "doc_id", "text",
                                 min_est_jaccard=0.9)
     assert pairs.count() >= 0  # executes; near-identical bags may collide
+
+
+def test_near_duplicate_clusters(spark):
+    from schema_guru_spark.operators.dedup import near_duplicate_clusters
+    # two components: a chain {1-2, 2-3, 3-4} and a pair {10-11};
+    # singletons (no edges) are not emitted — they are their own cluster
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in near_duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_clusters_from_minhash_pairs(spark):
+    """End-to-end: duplicated docs -> minhash LSH pairs -> one cluster
+    per duplicate group."""
+    from schema_guru_spark.operators.dedup import (
+        minhash_lsh_pairs, near_duplicate_clusters)
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    alt = base.replace("green", "dark")
+    other = ("completely different content about spark dataframes "
+             "and distributed aggregation semantics at scale")
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, alt), (4, other)],
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "doc_id", "text")
+    labels = {r["id"]: r["cluster_id"]
+              for r in near_duplicate_clusters(pairs).collect()}
+    # the three near-identical docs collapse into one cluster rooted at 1
+    assert labels[1] == labels[2] == 1
+    assert 4 not in labels  # no near-dup edges -> not in any cluster

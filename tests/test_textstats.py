@@ -60,3 +60,22 @@ def test_on_documents_table(spark, sf_dir):
     q = TS.quality_scores(docs, "text", "doc_id")
     n = q.where(F.col("quality").isNotNull()).count()
     assert n == docs.count()
+
+
+def test_pii_scan_detects_planted_pii(spark):
+    from schema_guru_spark.operators.textstats import pii_scan
+    df = spark.createDataFrame([
+        (1, "contact me at alice@example.com or bob.smith+x@corp.co.uk"),
+        (2, "call +1 (555) 123-4567 tomorrow"),
+        (3, "ssn 123-45-6789 leaked"),
+        (4, "server at 192.168.10.1 and 10.0.0.255"),
+        (5, "clean document with no personal data"),
+    ], "doc_id long, text string")
+    rows = {r["id"]: r for r in pii_scan(df, "text", "doc_id").collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["has_pii"]
+    assert rows[2]["n_phone"] == 1
+    assert rows[3]["n_ssn"] == 1
+    assert rows[4]["n_ipv4"] == 2
+    assert not rows[5]["has_pii"]
+    assert all(rows[5][c] == 0 for c in
+               ("n_email", "n_phone", "n_ssn", "n_ipv4"))
