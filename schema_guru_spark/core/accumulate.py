@@ -145,10 +145,20 @@ def _accumulate_cold(acc: dict, value: Any, ctx: SchemaContext,
         # the accumulator as a unit. Streaming elements straight into the
         # existing state would change enum-tombstone outcomes (the concat
         # -size check sees different list lengths).
+        arr = acc.get("arr")
+        if ctx.enum_cardinality == 0 and arr is not None:
+            # no-enum fast path: with no enum state the merge is
+            # pointwise associative+commutative, so folding elements
+            # directly into the existing items state == merging a
+            # pre-merged fresh sub-schema — skips a dict + merge per
+            # array (law covered by test_accumulate_equals_derive_merge)
+            items = arr["items"]
+            for elem in value:
+                accumulate(items, elem, ctx)
+            return acc
         fresh: dict = {}
         for elem in value:
             accumulate(fresh, elem, ctx)
-        arr = acc.get("arr")
         if arr is None:
             acc["arr"] = {"items": fresh}
         else:

@@ -87,7 +87,9 @@ def suggest_ip(s: str) -> Optional[str]:
     if 7 <= n <= 15 and s[0].isdigit() and s.count(".") == 3 \
             and IPV4_RE.match(s):
         return "ipv4"
-    if ":" in s:
+    if ":" in s and "/" not in s and s.count(":") >= 2:
+        # same prefilter as the fused chain (suggest_format): valid
+        # IPv6 literals have >= 2 colons and no slash
         try:
             ipaddress.IPv6Address(s)
             return "ipv6"
@@ -129,7 +131,9 @@ def suggest_format(s: str) -> Optional[str]:
     if 7 <= n <= 15 and s[0].isdigit() and s.count(".") == 3 \
             and IPV4_RE.match(s):
         return "ipv4"
-    if ":" in s:
+    if ":" in s and "/" not in s and s.count(":") >= 2:
+        # prefilter: a valid IPv6 literal has >= 2 colons and never a
+        # slash — URLs and timestamps skip the (expensive) parse+raise
         try:
             ipaddress.IPv6Address(s)
             return "ipv6"
