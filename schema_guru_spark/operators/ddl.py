@@ -9,7 +9,7 @@ the tiny flattened schema; no Spark involvement (as in the reference).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from schema_guru_spark.operators.migrations import (
     Migration, SchemaVer, build_migration_matrix, flatten_properties,

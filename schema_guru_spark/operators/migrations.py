@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 SCHEMAVER_RE = re.compile(r"^([0-9]+)-([0-9]+)-([0-9]+)$")
 

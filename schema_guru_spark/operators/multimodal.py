@@ -17,7 +17,6 @@ Schema convention:
 from __future__ import annotations
 
 import hashlib
-import zlib
 from typing import Iterator
 
 import numpy as np
