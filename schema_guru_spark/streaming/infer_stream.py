@@ -144,3 +144,37 @@ def keyed_schema_stream(stream_df: DataFrame, column: str, key_col: str,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def windowed_violation_counts(stream_df: DataFrame, content_col: str,
+                              ts_col: str, window: str = "1 minute",
+                              watermark: str = "2 minutes") -> DataFrame:
+    """Event-time windowed validity counts with late-data handling —
+    the watermark + windowed-aggregation shape for streams.
+
+    Input: streaming DataFrame with an event-time column and a
+    JSON-bearing content column. Output stream (append mode capable):
+    (window_start, window_end, n_docs, n_valid, n_invalid, err_rate)
+    per event-time window; rows later than ``watermark`` behind the max
+    seen event time are dropped by the engine and their window state is
+    finalized/evicted — bounded state regardless of stream length.
+
+    Validity here is the cheap JVM-side structural screen (non-null,
+    trimmed content starting with '{' or '[' — the reference's
+    top-level-kind gate, SchemaGenerator.scala:54-59, as a streaming
+    pre-filter); full derivation happens in the stateful/foreachBatch
+    paths above.
+    """
+    c = F.trim(F.col(content_col))
+    looks_json = c.isNotNull() & (c.startswith("{") | c.startswith("["))
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(looks_json, 1).otherwise(0)).alias("n_valid"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "n_docs", "n_valid",
+                    (F.col("n_docs") - F.col("n_valid")).alias("n_invalid"),
+                    F.round((F.col("n_docs") - F.col("n_valid"))
+                            / F.col("n_docs"), 6).alias("err_rate")))

@@ -94,3 +94,34 @@ def test_incremental_state_replay_is_idempotent(tmp_path):
     assert ok == 10 and last == 0
     # the guard a replayed batch hits:
     assert last is not None and 0 <= last
+
+
+def test_windowed_violation_counts_with_watermark(spark, tmp_path):
+    from schema_guru_spark.streaming.infer_stream import (
+        windowed_violation_counts)
+    src = tmp_path / "win"
+    src.mkdir()
+    # two event-time windows; one malformed doc in the second
+    _write_batch(src, "b1.ndjson", [
+        '2024-01-01T00:00:10|{"a":1}',
+        '2024-01-01T00:00:40|{"a":2}',
+        '2024-01-01T00:01:10|{"b":1}',
+        '2024-01-01T00:01:20|not json',
+    ])
+    stream = (spark.readStream.format("text").schema("value string")
+              .load(str(src))
+              .select(F.split("value", r"\|").alias("p"))
+              .select(F.to_timestamp(F.col("p")[0]).alias("ts"),
+                      F.col("p")[1].alias("content")))
+    out = windowed_violation_counts(stream, "content", "ts")
+    q = (out.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {str(r["window_start"]): r
+            for r in spark.sql("select * from win_counts").collect()}
+    assert len(rows) == 2
+    first = rows["2024-01-01 00:00:00"]
+    assert (first["n_docs"], first["n_valid"], first["n_invalid"]) == (2, 2, 0)
+    second = rows["2024-01-01 00:01:00"]
+    assert (second["n_docs"], second["n_invalid"]) == (2, 1)
+    assert abs(second["err_rate"] - 0.5) < 1e-9
