@@ -45,25 +45,29 @@ def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
                n_centroids: int = 16) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF coarse quantizer.
 
-    Centroids: the vectors whose id ranks 0, s, 2s, ... under ordering
-    by id (a fixed, data-dependent but RNG-free choice — at real scale
-    replace with a k-means pass; the bucketing contract is identical).
-    Returns (assignments(id, centroid_id), centroids(centroid_id, cvec)).
-    Assignment is one broadcast nested-loop of |df| x C array ops — all
-    JVM; at write time this becomes the table's bucket column.
+    Centroids: the vectors with the n_centroids smallest xxhash64(id) —
+    a deterministic RNG-free pseudo-random sample selected with
+    TakeOrdered (per-partition heaps + driver merge; no global sort or
+    global window anywhere — the previous row_number-over-all-rows
+    quantizer would have serialized on one task at scale). At real
+    scale replace with a k-means pass; the bucketing contract is
+    identical. Returns (assignments(id, centroid_id),
+    centroids(centroid_id, cvec)). Assignment is one broadcast
+    nested-loop of |df| x C array ops — all JVM; at write time this
+    becomes the table's bucket column.
     """
     from pyspark.sql.window import Window
-    w = Window.orderBy("id")
-    ranked = df.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).cast("array<double>").alias("v")) \
-               .withColumn("rk", F.row_number().over(w) - 1)
-    n = ranked.count()
-    stride = max(n // n_centroids, 1)
-    centroids = (ranked.where((F.col("rk") % stride == 0) &
-                              (F.col("rk") / stride < n_centroids))
-                 .select((F.col("rk") / stride).cast("int").alias("centroid_id"),
-                         F.col("v").alias("cvec")))
-    joined = ranked.crossJoin(F.broadcast(centroids))
+    vecs = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    picked = (vecs.withColumn("_h", F.xxhash64("id"))
+              .orderBy("_h").limit(n_centroids))  # TakeOrderedAndProject
+    # numbering the C selected rows is a window over C rows only
+    wc = Window.orderBy("_h")
+    centroids = (picked.withColumn(
+                     "centroid_id",
+                     (F.row_number().over(wc) - 1).cast("int"))
+                 .select("centroid_id", F.col("v").alias("cvec")))
+    joined = vecs.crossJoin(F.broadcast(centroids))
     d2 = F.aggregate(F.zip_with("v", "cvec", lambda x, y: (x - y) * (x - y)),
                      F.lit(0.0), lambda acc, x: acc + x)
     scored = joined.select("id", "centroid_id", d2.alias("d2"))
