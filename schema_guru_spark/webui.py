@@ -124,7 +124,34 @@ def _parse_multipart(content_type: str, body: bytes) -> List[Tuple[str, str]]:
     return fields
 
 
+_INDEX_HTML = b"""<!doctype html>
+<html><head><title>schema-sentry</title></head><body>
+<h1>schema-sentry</h1>
+<p>POST JSON files (multipart) to <code>/upload</code>; field name
+ending in <code>.json</code> = one document, any other name = NDJSON,
+optional <code>enumCardinality</code> field sets the enum cutoff.</p>
+<form action="/upload" method="post" enctype="multipart/form-data">
+  <input type="file" name="file.json">
+  <input type="text" name="enumCardinality" placeholder="enum cardinality">
+  <button type="submit">derive schema</button>
+</form>
+</body></html>
+"""
+
+
 class SchemaGuruHandler(BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802 (http.server API)
+        # the reference serves a static web UI at / (SchemaGuruRoutes
+        # .scala:62-75); a minimal inline page keeps the route surface
+        if self.path not in ("/", "/index.html"):
+            self.send_error(404)
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(_INDEX_HTML)))
+        self.end_headers()
+        self.wfile.write(_INDEX_HTML)
+
     def do_POST(self):  # noqa: N802 (http.server API)
         if self.path != "/upload":
             self.send_error(404)

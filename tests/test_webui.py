@@ -92,3 +92,10 @@ def test_http_unknown_path_404(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_http_index_served(server):
+    with urllib.request.urlopen(f"{server}/") as resp:
+        assert resp.status == 200
+        body = resp.read().decode()
+    assert "/upload" in body and "<form" in body
