@@ -286,8 +286,16 @@ def validate_repo_table(
         if ckpt:
             viol_path = f"{ckpt.dir}/violations"
             verd_path = f"{ckpt.dir}/verdicts"
-            violations.write.mode("append").parquet(viol_path)
-            verdicts.write.mode("append").parquet(verd_path)
+            # idempotent per-chunk sink: OVERWRITE this chunk's
+            # partition directory rather than appending to the parent.
+            # A job killed after the data append but before the
+            # manifest append re-runs the chunk on restart — an append
+            # would then duplicate every verdict/violation row of the
+            # chunk; an overwrite converges to the same bytes.
+            violations.write.mode("overwrite") \
+                .parquet(f"{viol_path}/chunk={chunk[0]}")
+            verdicts.write.mode("overwrite") \
+                .parquet(f"{verd_path}/chunk={chunk[0]}")
             metrics = [r.asDict() for r in
                        spark.read.parquet(verd_path)
                        .where(F.col("bucket").isin(chunk))
@@ -305,9 +313,12 @@ def validate_repo_table(
         raw.unpersist()
 
     if ckpt:
-        verdicts_df = spark.read.parquet(f"{ckpt.dir}/verdicts")
+        # chunk=N partition dirs: drop the inferred partition column
+        verdicts_df = spark.read.parquet(f"{ckpt.dir}/verdicts") \
+            .drop("chunk")
         try:
-            violations_df = spark.read.parquet(f"{ckpt.dir}/violations")
+            violations_df = spark.read.parquet(f"{ckpt.dir}/violations") \
+                .drop("chunk")
         except Exception:
             violations_df = spark.createDataFrame(
                 [], "bucket int, repo string, lang string, detail string")

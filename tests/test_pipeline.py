@@ -255,3 +255,25 @@ def test_bucket_balance_under_megarepo_skew(spark, repo_df):
                .groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect())]
     mean = sum(counts) / len(counts)
     assert max(counts) <= 5 * mean, (max(counts), mean)
+
+
+def test_crash_between_sink_and_manifest_does_not_duplicate(spark, repo_df,
+                                                            tmp_path):
+    """Kill window: data sinks written, manifest append lost. On
+    restart the chunk re-runs; the per-chunk OVERWRITE sink must
+    converge instead of appending duplicates."""
+    import shutil
+    ck = str(tmp_path / "ckpt3")
+    res1 = validate_repo_table(spark, repo_df, checkpoint_dir=ck,
+                               n_buckets=N_BUCKETS, chunk_size=3)
+    n_verd = res1.verdicts.count()
+    n_viol = res1.violations.count()
+    # simulate the crash: manifest lost, data sinks survive
+    shutil.rmtree(f"{ck}/manifest")
+    res2 = validate_repo_table(spark, repo_df, checkpoint_dir=ck,
+                               n_buckets=N_BUCKETS, chunk_size=3)
+    assert res2.verdicts.count() == n_verd == N_BUCKETS
+    assert res2.violations.count() == n_viol
+    # one verdict row per bucket, not two
+    per_bucket = res2.verdicts.groupBy("bucket").count().collect()
+    assert all(r["count"] == 1 for r in per_bucket)
