@@ -136,3 +136,28 @@ def test_clusters_from_minhash_pairs(spark):
     # the three near-identical docs collapse into one cluster rooted at 1
     assert labels[1] == labels[2] == 1
     assert 4 not in labels  # no near-dup edges -> not in any cluster
+
+
+def test_embedding_banded_lsh_recall(spark):
+    """Pairs at cosine ~0.95 must mostly be FOUND: a single 16-plane
+    bucket only catches ~18% of them (0.9^16); 4x4 banding ~99%."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(20):
+        base = rng.standard_normal(32)
+        base /= np.linalg.norm(base)
+        # perturb to cosine ~0.95
+        noise = rng.standard_normal(32)
+        noise -= noise.dot(base) * base
+        noise /= np.linalg.norm(noise)
+        near = 0.95 * base + np.sqrt(1 - 0.95 ** 2) * noise
+        rows.append((2 * i, base.tolist()))
+        rows.append((2 * i + 1, near.tolist()))
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = {(r["id_a"], r["id_b"])
+           for r in D.embedding_near_duplicates(
+               df, "id", "vec", threshold=0.94).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    found = len(planted & got)
+    assert found >= 15, f"recall too low: {found}/20"
