@@ -2,8 +2,10 @@
 
 Captures .explain() output and asserts the properties that matter at
 scale: column pruning reaches the parquet scan, dimension sides
-broadcast, anti-joins stay broadcast, the cross join over key sets is
-a broadcast NLJ, and flat aggregates are whole-stage-codegen'd.
+broadcast, anti-joins stay broadcast, LSH candidate joins never
+degenerate to a cartesian, top-k stays TakeOrderedAndProject, flat
+aggregates are whole-stage-codegen'd, and pandas-UDF passes shuffle
+only state rows.
 """
 
 import contextlib
