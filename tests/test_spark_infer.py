@@ -65,3 +65,70 @@ def test_infer_by_key_total_matches(events):
     out = infer_json_column_by_key(events, "props", "event_type", CTX)
     total = out.agg(F.sum("n_ok")).collect()[0][0]
     assert total == events.count()
+
+
+def test_random_corpus_spark_equals_kernel(spark, tmp_path):
+    """A 300-doc corpus covering every node kind and type collision,
+    partitioned across tasks: the distributed derive -> partial merge ->
+    tree combine must render EXACTLY the schema of a driver-side kernel
+    fold (merge-order independence across partition splits included)."""
+    import json as _json
+    import random
+
+    rng = random.Random(42)
+
+    def scalar(depth):
+        k = rng.randrange(9)
+        if k == 0:
+            return None
+        if k == 1:
+            return rng.random() < 0.5
+        if k == 2:
+            return rng.randint(-2**40, 2**40)
+        if k == 3:
+            return rng.random() * 1e6 - 5e5
+        if k == 4:
+            return "".join(rng.choice("abcxyz _-") for _ in range(rng.randint(0, 20)))
+        if k == 5:
+            return f"{rng.getrandbits(32):08x}-1234-4abc-8def-000000000000"
+        if k == 6:
+            return f"2024-{rng.randint(1,12):02d}-{rng.randint(1,28):02d}T12:{rng.randint(0,59):02d}:00Z"
+        if k == 7:
+            return f"https://example.com/x/{rng.randint(0,999)}"
+        return f"10.0.{rng.randint(0,255)}.{rng.randint(0,255)}"
+
+    def value(depth=0):
+        if depth >= 3 or rng.random() < 0.6:
+            return scalar(depth)
+        if rng.random() < 0.5:
+            return [value(depth + 1) for _ in range(rng.randint(0, 4))]
+        return {f"k{rng.randint(0, 6)}": value(depth + 1)
+                for _ in range(rng.randint(0, 4))}
+
+    docs = []
+    for _ in range(300):
+        if rng.random() < 0.8:
+            docs.append({f"f{rng.randint(0, 9)}": value()
+                         for _ in range(rng.randint(1, 5))})
+        else:
+            docs.append([value() for _ in range(rng.randint(0, 4))])
+    texts = [_json.dumps(d) for d in docs]
+
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame([(t,) for t in texts], "content string") \
+         .repartition(7).write.mode("overwrite").parquet(p)
+
+    from schema_guru_spark.core.microschema import ZERO, derive_text, merge, render
+    from schema_guru_spark.core.transforms import apply_transforms
+    acc = ZERO
+    for t in texts:
+        s, err = derive_text(t, CTX)
+        assert err is None
+        acc = merge(acc, s, CTX)
+    kernel_schema = _json.dumps(
+        render(apply_transforms(acc, CTX), CTX), sort_keys=True)
+
+    res = infer_json_column(spark.read.parquet(p), "content", CTX)
+    assert res.n_ok == 300 and res.n_err == 0
+    spark_schema = _json.dumps(res.schema(CTX), sort_keys=True)
+    assert spark_schema == kernel_schema
