@@ -132,3 +132,86 @@ def test_random_corpus_spark_equals_kernel(spark, tmp_path):
     assert res.n_ok == 300 and res.n_err == 0
     spark_schema = _json.dumps(res.schema(CTX), sort_keys=True)
     assert spark_schema == kernel_schema
+
+
+def test_random_corpus_by_key_equals_kernel(spark, tmp_path):
+    """Per-key segmented inference must equal a per-key kernel fold."""
+    import json as _json
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(7)
+    texts = []
+    for i in range(200):
+        key = f"k{rng.randrange(4)}"
+        texts.append((key, _json.dumps(
+            {"a": rng.randint(0, 99),
+             "b": rng.choice(["x", "yy", "zzz"]),
+             "k": key})))
+    p = str(tmp_path / "keyed")
+    spark.createDataFrame(texts, "seg string, content string") \
+         .repartition(5).write.mode("overwrite").parquet(p)
+
+    from schema_guru_spark.core.microschema import ZERO, derive_text, merge, render
+    from schema_guru_spark.core.transforms import apply_transforms
+    per_key: dict = defaultdict(lambda: ZERO)
+    for key, t in texts:
+        s, err = derive_text(t, CTX)
+        assert err is None
+        per_key[key] = merge(per_key[key], s, CTX)
+    expected = {k: _json.dumps(render(apply_transforms(acc, CTX), CTX),
+                               sort_keys=True)
+                for k, acc in per_key.items()}
+
+    out = infer_json_column_by_key(spark.read.parquet(p), "content",
+                                   "seg", CTX)
+    got = {r["seg"]: r["schema"] for r in out.collect()}
+    assert got == expected
+
+
+def _canonicalize_enums(node):
+    """Sort enum lists in place — enum ORDER is merge-order-dependent
+    (true of the reference's scalaz distinct too); the SET is not."""
+    if isinstance(node, dict):
+        if isinstance(node.get("enum"), list):
+            node["enum"] = sorted(node["enum"], key=repr)
+        for v in node.values():
+            _canonicalize_enums(v)
+    elif isinstance(node, list):
+        for v in node:
+            _canonicalize_enums(v)
+    return node
+
+
+def test_enum_corpus_spark_equals_kernel_up_to_order(spark, tmp_path):
+    """With enum tracking on (K=6), the distributed merge must produce
+    the same enum SETS and tombstones as the kernel fold — element
+    order may differ across partition merge orders."""
+    import json as _json
+    import random
+    ctx = SchemaContext.make(6)
+
+    rng = random.Random(13)
+    texts = [_json.dumps({
+        "few": rng.choice(["a", "b", "c"]),          # under cutoff
+        "many": f"v{rng.randrange(40)}",             # tombstoned
+        "num": rng.choice([1, 2, 3]),
+    }) for _ in range(150)]
+    p = str(tmp_path / "enums")
+    spark.createDataFrame([(t,) for t in texts], "content string") \
+         .repartition(6).write.mode("overwrite").parquet(p)
+
+    from schema_guru_spark.core.microschema import ZERO, derive_text, merge, render
+    from schema_guru_spark.core.transforms import apply_transforms
+    acc = ZERO
+    for t in texts:
+        s, _ = derive_text(t, ctx)
+        acc = merge(acc, s, ctx)
+    kernel = _canonicalize_enums(render(apply_transforms(acc, ctx), ctx))
+
+    res = infer_json_column(spark.read.parquet(p), "content", ctx)
+    got = _canonicalize_enums(res.schema(ctx))
+    assert got == kernel
+    props = got["properties"]
+    assert sorted(props["few"]["enum"]) == ["a", "b", "c"]
+    assert "enum" not in props["many"]  # over cutoff -> tombstoned
