@@ -99,8 +99,10 @@ def q_segment_props(spark, sf):
 def q_latest_event_per_user(spark, sf):
     out = S.group_with_latest(_t(spark, sf, "events"), ["user_id"],
                               ["ts", "event_id"])
-    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so NTZ->TZ->epoch
-    # equals DuckDB's epoch(naive ts)
+    # ts is TIMESTAMP_NTZ; the NTZ -> timestamp -> epoch cast reads the
+    # SESSION timezone, so pin UTC here rather than assume the harness
+    # did — DuckDB's epoch(naive ts) is UTC-naive
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return out.select("user_id", "event_id", "event_type",
                       F.col("ts").cast("timestamp").cast("long").alias("ts_epoch")) \
               .orderBy("user_id")
