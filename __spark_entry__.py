@@ -138,6 +138,17 @@ def q_ks_quantity_linestatus(spark, sf):
                            "l_linestatus", "O", "F")
 
 
+def q_ks_quantity_sketch(spark, sf):
+    # the 100 TB KS path: one aggregation pass over mergeable quantile
+    # sketches (percentile_approx). No SQL oracle — DuckDB cannot
+    # reproduce Spark's QuantileSummaries cut-points — so rows-only; the
+    # exact query above stays the oracle-confirmed twin and
+    # test_ks_sketch_close_to_exact pins the two within ~0.01.
+    v = C.ks_two_sample_sketch(_t(spark, sf, "lineitem"), "l_quantity",
+                               "l_linestatus", "O", "F")
+    return spark.createDataFrame([(round(v, 6),)], "ks_stat_sketch double")
+
+
 def q_snakify_mktsegment(spark, sf):
     # F4 snakify over distinct values (camelCase -> snake_case)
     df = _t(spark, sf, "customer").select("c_mktsegment").distinct()
@@ -189,6 +200,25 @@ def q_cosine_topk_embeddings(spark, sf):
 def q_drift_price_by_returnflag(spark, sf):
     return C.drift_by_partition(_t(spark, sf, "lineitem"),
                                 "l_extendedprice", "l_returnflag")
+
+
+def q_png_decode_features(spark, sf):
+    # REAL media decode: rows get actual encoded PNGs of a deterministic
+    # test pattern (all 5 predictor filters exercised), the pure-Python
+    # codec decodes them, and the oracle recomputes the channel means
+    # ANALYTICALLY from the pattern formula — so a hash match proves the
+    # decoder (IHDR parse, inflate, unfilter) round-trips the encoder.
+    from schema_guru_spark.operators import multimodal as MM
+    ids = _t(spark, sf, "documents").where(F.col("doc_id") < 40) \
+        .select("doc_id")
+    feats = MM.decode_and_featurize(MM.attach_png_media(ids, "doc_id"),
+                                    id_col="doc_id")
+    return feats.select(
+        "id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("id")
 
 
 # rows-only: LSH/banding pipelines (deterministic, not worth an oracle)
@@ -255,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_rows_events_user": q_duplicate_rows_events_user_ts,
         "psi_price_returnflag": q_psi_price_returnflag,
         "ks_quantity_linestatus": q_ks_quantity_linestatus,
+        "ks_quantity_sketch": q_ks_quantity_sketch,
         "snakify_mktsegment": q_snakify_mktsegment,
         "exact_dup_props": q_exact_dup_props,
         "unigram_jaccard_docs": q_unigram_jaccard_docs,
@@ -265,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5_docs": q_fingerprint_md5_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "drift_price_by_returnflag": q_drift_price_by_returnflag,
+        "png_decode_features": q_png_decode_features,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "simhash_fp_docs": q_simhash_fp_docs,
@@ -553,6 +585,28 @@ def oracle_sql() -> dict[str, str]:
               JOIN ptot ON ptot.p = b.p, gtot)
             SELECT p AS l_returnflag, round(sum((pp - pg) * ln(pp / pg)), 6) AS psi
             FROM terms GROUP BY 1 ORDER BY 1
+        """,
+        "png_decode_features": """
+            -- analytic twin of the PNG test pattern: the Spark side
+            -- encodes px(x,y,c) = (7x+13y+29c+31*id) mod 256 into real
+            -- PNGs and decodes them back; this recomputes the means
+            -- without any codec
+            WITH ids AS (
+              SELECT doc_id AS id,
+                     (doc_id % 16 + 8)::INT AS width,
+                     (doc_id % 12 + 8)::INT AS height
+              FROM documents WHERE doc_id < 40),
+            px AS (
+              SELECT i.id, i.width, i.height, gx.x, gy.y
+              FROM ids i,
+                   generate_series(0, 23) gx(x),
+                   generate_series(0, 19) gy(y)
+              WHERE gx.x < i.width AND gy.y < i.height)
+            SELECT id, width, height,
+                   round(avg((7*x + 13*y + 31*id) % 256), 6) AS mean_r,
+                   round(avg((7*x + 13*y + 29 + 31*id) % 256), 6) AS mean_g,
+                   round(avg((7*x + 13*y + 58 + 31*id) % 256), 6) AS mean_b
+            FROM px GROUP BY 1, 2, 3 ORDER BY id
         """,
         "ks_quantity_linestatus": """
             WITH per_value AS (

@@ -152,19 +152,30 @@ def psi(df: DataFrame, value_col: str, group_col: str,
 
 
 def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
-                  g1, g2) -> DataFrame:
+                  g1, g2, n_range_parts: int = 16) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic: max |CDF₁ - CDF₂| over the
-    pooled sample, computed with window functions (rank-based — no
-    sketches needed for exactness; for 100 TB use
-    ``ks_two_sample_sketch`` — same statistic from mergeable quantile
-    sketches, one aggregation pass).
+    pooled sample — EXACT, rank-based, and fully distributed.
 
     Tie-correct: counts are aggregated PER DISTINCT VALUE first (the CDF
-    is only evaluated at jump points), so the window runs over the tiny
-    (value, n1, n2) frame, not the raw rows — one shuffle on value, then
-    an ordered scan of |distinct values| rows. For continuous data at
-    100 TB where |distinct| is unbounded, substitute percentile_approx
-    cut-points (t-digest) and compare sketch CDFs. Result rounded to 6
+    only jumps at observed values), so everything downstream runs over
+    the (value, d1, d2) frame, never the raw rows.
+
+    The cumulative sums use a distributed prefix-sum instead of a global
+    window (the previous plan's ``Window.orderBy(v)`` with no partition
+    serialized the whole CDF on one task — the classic `WindowExec: No
+    Partition Defined` scale bug):
+
+      1. ``repartitionByRange(v)`` — ordered ranges land on ordered
+         partition ids.
+      2. per-partition subtotal of (d1, d2) — tiny (one row per range
+         partition), collected to the driver and turned into exclusive
+         prefix offsets (provably |partitions| rows, never data-scale).
+      3. windows partitioned BY the range id, offset-joined — every
+         partition computes its CDF slice in parallel.
+
+    For continuous data at 100 TB where even |distinct| is unbounded,
+    ``ks_two_sample_sketch`` computes the same statistic from mergeable
+    quantile sketches in one aggregation pass. Result rounded to 6
     decimals.
     """
     c = F.col(value_col)
@@ -174,14 +185,32 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
         F.sum(F.when(F.col("g") == g1, 1).otherwise(0)).alias("d1"),
         F.sum(F.when(F.col("g") == g2, 1).otherwise(0)).alias("d2"),
     )
-    counts = per_value.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged = (per_value.repartitionByRange(n_range_parts, "v")
+              .withColumn("pid", F.spark_partition_id())
+              .localCheckpoint())
+    # Exclusive prefix offsets per range partition: |non-empty ranges|
+    # rows — bounded by n_range_parts, independent of data size.
+    subtotals = sorted(
+        ranged.groupBy("pid").agg(F.sum("d1").alias("s1"),
+                                  F.sum("d2").alias("s2")).collect(),
+        key=lambda r: r["pid"])
+    offsets, acc1, acc2 = [], 0, 0
+    for r in subtotals:
+        offsets.append((r["pid"], acc1, acc2))
+        acc1 += r["s1"]
+        acc2 += r["s2"]
+    n1, n2 = max(acc1, 1), max(acc2, 1)
+    off = ranged.sparkSession.createDataFrame(
+        offsets or [(0, 0, 0)], "pid int, off1 long, off2 long")
+    w = (Window.partitionBy("pid").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cdfs = (
-        per_value
+        ranged
         .withColumn("c1", F.sum("d1").over(w))
         .withColumn("c2", F.sum("d2").over(w))
-        .crossJoin(F.broadcast(counts))
-        .select((F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2")))
+        .join(F.broadcast(off), "pid")
+        .select((F.abs((F.col("c1") + F.col("off1")) / F.lit(float(n1))
+                       - (F.col("c2") + F.col("off2")) / F.lit(float(n2))))
                 .alias("gap"))
     )
     return cdfs.agg(F.round(F.max("gap"), 6).alias("ks_stat"))

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The Spark-side contract is real and tested — schema, partitioning, Arrow
-batch shapes, UDF signatures. The actual media decode is STUBBED: the
-image/audio libraries are not in this container, so ``decode_image``
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder (byte-stats pseudo-pixels) exercises the same
-plumbing with the same shapes.
+The Spark-side contract — schema, partitioning, Arrow batch shapes, UDF
+signatures — is real and tested. The decode step supports two paths:
+
+  * REAL PNG decode via the pure-Python codec in ``operators/png.py``
+    (zlib inflate + all five predictor filters) — any payload starting
+    with the PNG signature is actually decoded to pixels.
+  * a deterministic fake decoder (byte-stats pseudo-pixels) behind
+    ``fake=True`` for shape tests and for formats whose codecs are not
+    in this container (jpeg/audio/video stay declared stubs).
 
 Schema convention:
     media struct<data: binary, meta: struct<kind: string, format: string,
@@ -22,6 +25,10 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+from schema_guru_spark.operators.png import (
+    PNG_SIGNATURE, decode_png, encode_png,
+)
 
 MEDIA_META = T.StructType([
     T.StructField("kind", T.StringType()),
@@ -51,6 +58,50 @@ def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
                                            meta.alias("meta")))
 
 
+def _png_pixels(rid: int, width: int, height: int) -> np.ndarray:
+    """Deterministic test-pattern pixels for id ``rid`` — an affine
+    formula both the Spark side (via encode/decode) and the DuckDB
+    oracle (analytically, without any codec) can compute:
+        px(x, y, c) = (7x + 13y + 29c + 31*id) mod 256
+    """
+    x = np.arange(width)[None, :, None]
+    y = np.arange(height)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return ((7 * x + 13 * y + 29 * c + 31 * int(rid)) % 256).astype(np.uint8)
+
+
+def png_dims(rid_col):
+    """Deterministic per-id fixture dimensions (shared with the oracle)."""
+    return (rid_col % 16 + 8, rid_col % 12 + 8)
+
+
+def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL PNG media column: each row carries an actual encoded PNG of
+    the deterministic test pattern, with per-row filter types cycling
+    through all five predictors ((id + y) % 5) so the decoder's every
+    branch is exercised. Arrow-batched; encoding is per-row numpy."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                w, h = rid % 16 + 8, rid % 12 + 8
+                arr = _png_pixels(rid, w, h)
+                data = encode_png(arr, [(rid + y) % 5 for y in range(h)])
+                medias.append({"data": data,
+                               "meta": {"kind": "image", "format": "png",
+                                        "width": w, "height": h,
+                                        "duration_ms": None}})
+            yield pd.DataFrame({id_col: pdf[id_col], "media": medias})
+
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("media", MEDIA_SCHEMA),
+    ])
+    return df.select(id_col).mapInPandas(fn, out_schema)
+
+
 def _fake_decode(data: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic pseudo-decode: tile the payload digest into an
     (h, w, 3) uint8 array — stands in for a real codec with identical
@@ -69,14 +120,23 @@ def decode_and_featurize(df: DataFrame, media_col: str = "media",
 
     Output: (id, width, height, mean_r/g/b double, thumb array<int> of
     resize_to*resize_to grayscale). Arrow-batched; per-image numpy work.
-    With fake=False this raises NotImplementedError at executor time —
-    the real decoder (PIL/ffmpeg) slots into ``_decode``.
-    """
+
+    PNG payloads (signature-sniffed) are REALLY decoded by the
+    pure-Python codec; other formats raise NotImplementedError unless
+    ``fake=True`` selects the deterministic test decoder (jpeg/audio
+    codecs are not in this container — declared stub). Width/height for
+    PNG come from the decoded IHDR, not the metadata struct."""
 
     def _decode(data, w, h):
+        data = bytes(data) if data is not None else b""
+        if data[:8] == PNG_SIGNATURE:
+            img = decode_png(data)
+            if img.shape[2] == 1:      # gray -> RGB for uniform features
+                img = np.repeat(img, 3, axis=2)
+            return img[:, :, :3]        # drop alpha if present
         if not fake:
             raise NotImplementedError(
-                "media codecs not available in this container; "
+                "only PNG decode is available in this container; "
                 "pass fake=True for the deterministic test decoder")
         return _fake_decode(data, w, h)
 
@@ -91,6 +151,7 @@ def decode_and_featurize(df: DataFrame, media_col: str = "media",
                 data, meta = media["data"], media["meta"]
                 w, h = int(meta["width"]), int(meta["height"])
                 img = _decode(data, w, h)
+                h, w = img.shape[:2]   # decoded dims win (PNG: from IHDR)
                 # resize: block-mean to resize_to x resize_to (vectorized)
                 ys = np.linspace(0, h, resize_to + 1).astype(int)
                 xs = np.linspace(0, w, resize_to + 1).astype(int)

@@ -85,15 +85,27 @@ def enum_candidates(df: DataFrame, column: str, cardinality: int) -> DataFrame:
     """Flat analog of E1 (SchemaWithEnum.scala:57-70): keep the value set
     iff its size is within cardinality, else tombstone (NULL).
 
-    Sorted for determinism. collect_set is bounded here by construction:
-    the count_distinct gate runs in the same aggregate.
+    Bounded-state plan (a high-cardinality column — the common case when
+    probing an id column for enum-ness — must not OOM an executor):
+
+      1. ``distinct()`` — a spill-safe hash aggregate; no row set is ever
+         materialized in one aggregation buffer.
+      2. ``limit(cardinality + 1)`` on the distinct frame — at most K+1
+         values ever leave the aggregate (CollectLimit early-out), so the
+         ``collect_list`` that builds the enum array holds <= K+1 items
+         regardless of the column's true cardinality.
+      3. The exact ``n_distinct`` gate runs as its own count over the
+         same distinct frame and tombstones the array past K.
+
+    Sorted for determinism. (The previous single-aggregate plan ran
+    ``collect_set`` over the full domain before gating — unbounded state.)
     """
     c = F.col(column)
-    agg = df.agg(
-        F.count_distinct(c).alias("n_distinct"),
-        F.array_sort(F.collect_set(c)).alias("values"),
-    )
-    return agg.select(
+    d = df.select(c.alias("v")).where(c.isNotNull()).distinct()
+    n = d.agg(F.count(F.lit(1)).alias("n_distinct"))
+    capped = d.limit(cardinality + 1).agg(
+        F.array_sort(F.collect_list("v")).alias("values"))
+    return n.crossJoin(F.broadcast(capped)).select(
         "n_distinct",
         F.when(F.col("n_distinct") <= cardinality, F.col("values"))
          .otherwise(F.lit(None)).alias("enum"),

@@ -53,3 +53,36 @@ def test_frame_sample_plan(spark):
     out = MM.frame_sample_plan(df, every_ms=1000)
     ms = [r["frame_ms"] for r in out.collect()]
     assert ms == [0, 1000, 2000, 3000]
+
+
+def test_real_png_decode_roundtrip(spark):
+    # attach REAL PNGs (all 5 filter types across rows) and check the
+    # decoded channel means against the analytic pattern formula
+    import numpy as np
+
+    ids = spark.range(12).select(F.col("id").alias("doc_id"))
+    feats = MM.decode_and_featurize(
+        MM.attach_png_media(ids, "doc_id"), id_col="doc_id", fake=False)
+    rows = {r["id"]: r for r in feats.collect()}
+    assert len(rows) == 12
+    for rid in range(12):
+        w, h = rid % 16 + 8, rid % 12 + 8
+        r = rows[rid]
+        assert (r["width"], r["height"]) == (w, h)
+        exp = MM._png_pixels(rid, w, h).astype(np.float64)
+        assert r["mean_r"] == pytest.approx(exp[:, :, 0].mean())
+        assert r["mean_g"] == pytest.approx(exp[:, :, 1].mean())
+        assert r["mean_b"] == pytest.approx(exp[:, :, 2].mean())
+
+
+def test_png_codec_rejects_corruption():
+    import numpy as np
+    from schema_guru_spark.operators.png import decode_png, encode_png
+
+    arr = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    data = bytearray(encode_png(arr, 3))
+    with pytest.raises(ValueError):
+        decode_png(bytes(data[:20]))          # truncated
+    data[40] ^= 0xFF                          # flip a byte inside IDAT
+    with pytest.raises(ValueError):
+        decode_png(bytes(data))               # CRC must catch it

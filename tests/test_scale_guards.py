@@ -1,0 +1,74 @@
+"""Scale-guard regression tests: plans that must stay bounded/distributed.
+
+Round-2 pins for the two round-1 scale-killers (VERDICT.md "What's
+wrong" #1 and #2): enum_candidates must never hold an unbounded value
+set in one aggregation buffer, and the exact KS CDF must never run a
+single-partition global window.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_guru_spark.operators import constraints as C
+from schema_guru_spark.operators import stats as S
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_enum_candidates_bounded_on_high_cardinality(spark):
+    # ~1M distinct values: the old collect_set plan materialized all of
+    # them in one aggregation buffer; the two-phase plan must finish with
+    # only K+1 values past the limit and tombstone the enum.
+    df = spark.range(1_000_000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    out = S.enum_candidates(df, "v", 5)
+    row = out.collect()[0]
+    assert row["n_distinct"] == 1_000_000
+    assert row["enum"] is None
+    plan = _plan(out)
+    assert "collect_set" not in plan
+    assert "Limit" in plan  # the K+1 early-out feeding collect_list
+
+
+def test_enum_candidates_small_set_unchanged(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), (None,)], "v string")
+    row = S.enum_candidates(df, "v", 3).collect()[0]
+    assert row["n_distinct"] == 2
+    assert list(row["enum"]) == ["a", "b"]
+
+
+def test_ks_exact_window_is_partitioned(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ks = C.ks_two_sample(li, "l_quantity", "l_linestatus", "O", "F")
+    plan = _plan(ks)
+    # every window spec must carry the range-partition id — a bare
+    # windowspecdefinition(v ASC...) is the serial global-CDF plan
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs, "expected a window in the KS plan"
+    assert all("windowspecdefinition(pid" in ln for ln in specs), plan
+
+
+def test_ks_exact_matches_single_partition_reference(spark):
+    # distributed prefix-sum == straightforward pandas CDF on a small frame
+    import random
+
+    rng = random.Random(7)
+    rows = [(float(rng.randint(0, 40)), "a" if rng.random() < 0.5 else "b")
+            for _ in range(4000)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    got = C.ks_two_sample(df, "v", "g", "a", "b", n_range_parts=8) \
+           .collect()[0][0]
+
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["v", "g"])
+    va = sorted(pdf[pdf.g == "a"].v)
+    vb = sorted(pdf[pdf.g == "b"].v)
+    import bisect
+    gap = max(
+        abs(bisect.bisect_right(va, x) / len(va)
+            - bisect.bisect_right(vb, x) / len(vb))
+        for x in set(pdf.v))
+    assert got == pytest.approx(round(gap, 6), abs=1e-9)
