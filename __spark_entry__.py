@@ -221,18 +221,20 @@ def q_png_decode_features(spark, sf):
     ).orderBy("id")
 
 
-# rows-only: LSH/banding pipelines (deterministic, not worth an oracle)
+# LSH/banding pipelines — oracle-checked through their exact-output
+# faces: the Spark side prunes with LSH but the RESULT is defined by
+# exact similarity, which DuckDB computes directly (all pairs).
 
 def q_minhash_pairs_docs(spark, sf):
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
-    return D.minhash_lsh_pairs(docs, "doc_id", "text", min_est_jaccard=0.8) \
+    return D.minhash_verified_pairs(docs, "doc_id", "text",
+                                    threshold=0.6) \
             .orderBy("id_a", "id_b")
 
 
 def q_near_dup_clusters_docs(spark, sf):
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text",
-                                min_est_jaccard=0.8)
+    pairs = D.minhash_verified_pairs(docs, "doc_id", "text", threshold=0.6)
     return D.near_duplicate_clusters(pairs).orderBy("id")
 
 
@@ -242,14 +244,20 @@ def q_simhash_fp_docs(spark, sf):
 
 
 def q_ivf_topk_embeddings(spark, sf):
+    # probe-all configuration: IVF must be LOSSLESS when every bucket is
+    # probed — the oracle is the brute-force top-k, so a hash match
+    # proves the quantize/assign/probe plumbing drops nothing. Partial
+    # probing (the at-scale recall/cost dial) is pinned by
+    # tests/test_similarity.py and the partition-pruning layout test.
     emb = _t(spark, sf, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
     return SIM.ivf_topk(emb, qvec, "embedding", "vec_id", k=10,
-                        n_centroids=8, n_probe=4)
+                        n_centroids=8, n_probe=8)
 
 
 def q_fingerprint_winnow_docs(spark, sf):
-    return TS.fingerprints(_t(spark, sf, "documents"), "text", "doc_id")
+    return TS.fingerprints(_t(spark, sf, "documents"), "text", "doc_id") \
+             .select("id", "winnow_min", "winnow_fps")
 
 
 # --- non-SQL-expressible (recursive merge state): rows-only checks ---
@@ -373,6 +381,30 @@ def _psi_sql(table: str, col: str, grp: str, b: str, t: str, n_bins: int = 10) -
       FROM binned, tot)
     SELECT round(sum((pt - pb) * ln(pt / pb)), 6) AS psi FROM terms
     """
+
+
+# Exact char-5-gram Jaccard pairs (doc_id < 200) — the all-pairs twin of
+# the LSH-pruned Spark plan; shared by the pair and cluster oracles.
+_CHAR_JACCARD_PAIRS_CTE = r"""
+    d AS (SELECT doc_id AS id,
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          FROM documents WHERE doc_id < 200),
+    grams AS (
+      SELECT DISTINCT id, substring(t, gs.i, 5) AS g
+      FROM d CROSS JOIN generate_series(1, 4000) gs(i)
+      WHERE gs.i <= greatest(length(t) - 4, 1)),
+    sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      FROM grams a JOIN grams b USING (g)
+      WHERE a.id < b.id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b,
+             round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE common / (sa.sz + sb.sz - common) >= 0.6)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -629,6 +661,95 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT c_mktsegment AS raw FROM customer)
             ORDER BY raw
         """,
+        "minhash_pairs_docs": f"""
+            WITH {_CHAR_JACCARD_PAIRS_CTE}
+            SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
+        """,
+        "near_dup_clusters_docs": f"""
+            -- transitive closure of the exact pair set; cluster_id =
+            -- min reachable id (matches min-label propagation)
+            WITH RECURSIVE {_CHAR_JACCARD_PAIRS_CTE},
+            edges AS (
+              SELECT id_a AS s, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT DISTINCT s AS id, s AS r FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.s = reach.id)
+            SELECT id, min(r)::BIGINT AS cluster_id
+            FROM reach GROUP BY id ORDER BY id
+        """,
+        "simhash_fp_docs": r"""
+            WITH d AS (SELECT doc_id AS id, text FROM documents
+                       WHERE doc_id < 200),
+            toks AS (
+              SELECT id, tok, count(*)::BIGINT AS cnt FROM (
+                SELECT id, unnest(regexp_split_to_array(
+                    lower(trim(text)), '\s+')) AS tok FROM d)
+              WHERE tok <> '' GROUP BY 1, 2),
+            hashed AS (
+              SELECT id, cnt,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+              FROM toks),
+            bits AS (
+              SELECT id, b.j,
+                     sum(cnt * (((h >> b.j) & 1) * 2 - 1)) AS s
+              FROM hashed CROSS JOIN generate_series(0, 59) b(j)
+              GROUP BY 1, 2),
+            fps AS (
+              SELECT id,
+                     sum(CASE WHEN s > 0 THEN 1::BIGINT << j
+                              ELSE 0 END)::BIGINT AS fp
+              FROM bits GROUP BY 1)
+            SELECT d.id, coalesce(fps.fp, 0)::BIGINT AS fp
+            FROM (SELECT DISTINCT id FROM d) d LEFT JOIN fps USING (id)
+            ORDER BY id
+        """,
+        "ivf_topk_embeddings": """
+            -- probe-all IVF == brute force (losslessness oracle)
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id AS id,
+                   round(list_inner_product(embedding::DOUBLE[], qv) /
+                         (sqrt(list_inner_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))
+                          * sqrt(list_inner_product(qv, qv)) + 1e-12), 6)
+                     AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, id ASC LIMIT 10
+        """,
+        "fingerprint_winnow_docs": r"""
+            WITH d AS (SELECT doc_id AS id,
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM documents),
+            pos AS (
+              SELECT id, t, gs.i
+              FROM d CROSS JOIN generate_series(1, 4000) gs(i)
+              WHERE gs.i <= greatest(length(t) - 7, 1)),
+            kh AS (
+              SELECT id, i,
+                ('0x' || substr(md5(substring(t, i, 8)), 1, 15))::BIGINT AS h
+              FROM pos),
+            wmin AS (
+              SELECT id, i,
+                     min(h) OVER (PARTITION BY id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS wm,
+                     count(*) OVER (PARTITION BY id) AS n
+              FROM kh),
+            sel AS (SELECT DISTINCT id, wm FROM wmin
+                    WHERE i <= greatest(n - 3, 1)),
+            fps AS (SELECT id,
+                           array_to_string(list_sort(list(wm)), ',')
+                             AS winnow_fps
+                    FROM sel GROUP BY id),
+            mins AS (SELECT id, min(h) AS winnow_min FROM kh GROUP BY id)
+            SELECT id, winnow_min, winnow_fps
+            FROM fps JOIN mins USING (id) ORDER BY id
+        """,
         # infer_props_schema / infer_by_event_type: recursive merge state,
         # not SQL-expressible -> rows-only check (SURVEY.md §2 A1/A8).
+        # ks_quantity_sketch: Spark-internal QuantileSummaries cut-points
+        # -> rows-only; its exact twin ks_quantity_linestatus is the
+        # oracle-confirmed path.
     }

@@ -88,6 +88,97 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         fn, f"id {dict(df.dtypes)[id_col]}, sig array<bigint>")
 
 
+def _lsh_candidates(sigs: DataFrame, bands: int, r: int) -> DataFrame:
+    """Banded-LSH candidate pairs from a (id, sig) signature frame: a
+    pair collides if any band's sub-signature matches exactly. The
+    self-join key is (band_idx, band_hash) — cost is Σ|bucket|², never
+    |docs|²."""
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice("sig", i * r + 1, r)),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def char_shingle_frame(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 5) -> DataFrame:
+    """Distinct character k-shingles per doc as (id, ngram) rows —
+    whole-stage-codegen JVM (normalize -> positional substrings ->
+    array_distinct -> explode). Shingling matches the minhash kernel:
+    lowercase, whitespace collapsed to single spaces; docs shorter than
+    k contribute their whole text as one shingle."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n_g = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n_g),
+                    lambda i: F.substring(norm, i, k)))
+    return df.select(F.col(id_col).alias("id"),
+                     F.explode(grams).alias("ngram"))
+
+
+def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
+                           threshold: float = 0.6, shingle_k: int = 5,
+                           n_hashes: int = 64,
+                           bands: int = 16) -> DataFrame:
+    """Near-duplicate pairs with EXACT char-shingle Jaccard >= threshold,
+    candidate-pruned by banded minhash LSH.
+
+    This is the oracle-checkable face of the LSH family: the output is
+    defined purely in terms of exact Jaccard (SQL-expressible — the
+    DuckDB twin computes all pairs directly), while the Spark plan only
+    ever compares LSH-colliding candidates. With the default 16 bands of
+    4 rows, a true pair at Jaccard j escapes all bands w.p.
+    (1-j⁴)^16 — ≈7e-14 at j=0.96, ≈5e-2 at j=0.8 — so choose
+    threshold/bands such that the detection gap is comfortably below the
+    corpus' near-dup similarity floor (sf0.01 documents: true pairs sit
+    at j>=0.96, next pair at 0.30). Exact verification then removes all
+    false candidates, so precision is exact and recall is the banding
+    probability above.
+    """
+    assert n_hashes % bands == 0
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes,
+                              shingle_k).localCheckpoint()
+    cand = _lsh_candidates(sigs, bands, n_hashes // bands)
+    grams = char_shingle_frame(df, id_col, text_col, shingle_k)
+    # restrict the inverted index to candidate docs before the self-join
+    cand_ids = (cand.select(F.col("id_a").alias("id"))
+                .unionByName(cand.select(F.col("id_b").alias("id")))
+                .distinct())
+    cgrams = grams.join(cand_ids, "id", "left_semi").localCheckpoint()
+    sizes = cgrams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    l, r = cgrams.alias("l"), cgrams.alias("r")
+    inter = (
+        l.join(r, "ngram")
+        .where(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(cand, ["id_a", "id_b"])   # only LSH-colliding pairs
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard",
+                    F.round(F.col("common") /
+                            (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                            6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n_hashes: int = 64, bands: int = 16,
                       shingle_k: int = 5,
@@ -108,24 +199,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # dropped with the DataFrame reference instead of leaking in the
     # cache manager across calls
     sigs = sigs.localCheckpoint()
-
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.hash(F.slice("sig", i * r + 1, r)),
-            )
-        ).alias("band", "band_hash"),
-    )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(right, ["band", "band_hash"])
-        .where(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _lsh_candidates(sigs, bands, r)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -141,31 +215,48 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return est
 
 
+SIMHASH_BITS = 60  # md5-prefix token hash: 15 hex chars = 60 bits
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit simhash over whitespace tokens (weight = term frequency),
-    Arrow-batched."""
+    """60-bit simhash over whitespace tokens (weight = term frequency),
+    computed ENTIRELY in JVM expressions: token explode -> md5-prefix
+    hash (cross-engine: ``conv(substr(md5(tok),1,15),16,10)``) -> one
+    hash aggregate with 60 per-bit weighted sign sums -> sign bits
+    reassembled. No Python anywhere, and bit-for-bit reproducible in
+    ANSI SQL — the DuckDB oracle in __spark_entry__ mirrors it.
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_idx = np.arange(64, dtype=np.uint64)
-        for pdf in batches:
-            out = []
-            for text in pdf[text_col]:
-                tokens = (text or "").lower().split()
-                if not tokens:
-                    out.append(0)
-                    continue
-                vals, counts = np.unique(np.array(tokens), return_counts=True)
-                hashes = np.array(
-                    [zlib.crc32(v.encode()) | (zlib.crc32(v[::-1].encode()) << 32)
-                     for v in vals], dtype=np.uint64)
-                bits = ((hashes[:, None] >> bit_idx[None, :]) & 1).astype(np.int64)
-                acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                fp = int(((acc > 0).astype(np.uint64) << bit_idx).sum())
-                out.append(fp - (1 << 63))  # store as signed 64-bit
-            yield pd.DataFrame({"id": pdf[id_col], "fp": out})
+    Scale shape: one shuffle on (id, token) for the tf counts, one on
+    id for the bit sums; both are partial-aggregated map-side. Docs with
+    no tokens get fp = 0 via the final left join.
+    """
+    from functools import reduce
+    from operator import add
 
-    return df.select(id_col, text_col).mapInPandas(
-        fn, f"id {dict(df.dtypes)[id_col]}, fp bigint")
+    ids = df.select(F.col(id_col).alias("id"))
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                              r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15),
+                                16, 10).cast("bigint"))
+    )
+    bit_sums = [
+        F.sum(F.col("cnt")
+              * (F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1))
+        .alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    fp = reduce(add, [
+        F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(SIMHASH_BITS)
+    ])
+    fps = agg.select("id", fp.cast("bigint").alias("fp"))
+    return ids.join(fps, "id", "left").na.fill({"fp": 0})
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,

@@ -100,24 +100,41 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def fingerprints(df: DataFrame, text_col: str, id_col: str,
-                 ngram: int = 8) -> DataFrame:
-    """Document fingerprinting:
+                 ngram: int = 8, window: int = 4) -> DataFrame:
+    """Document fingerprinting (winnowing — Schleimer et al., SIGMOD'03):
       content_md5 — digest of whitespace-normalized lowercase text
-      winnow_min  — minimum crc32 over character n-gram rolling windows
-                    (a 1-hash winnowing sketch; JVM-native via transform
-                    over substring windows)
+      winnow_min  — global minimum k-gram hash (1-hash sketch)
+      winnow_fps  — the winnowing fingerprint set: minimum hash of every
+                    sliding window of ``window`` consecutive k-gram
+                    hashes, deduplicated and sorted (csv string for
+                    cross-engine value comparison)
+
+    The k-gram hash is an md5 prefix (``conv(substr(md5(g),1,15),16,10)``,
+    60-bit) so the DuckDB oracle reproduces it exactly. All JVM array
+    expressions — one pass, no shuffle, no Python.
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    n_windows = F.greatest(F.length(norm) - (ngram - 1), F.lit(1))
-    window_hashes = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.crc32(F.substring(norm, i, ngram).cast("binary")),
+    n_kgrams = F.greatest(F.length(norm) - (ngram - 1), F.lit(1))
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(1), n_kgrams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(norm, i, ngram).cast("binary")),
+                        1, 15), 16, 10).cast("bigint"),
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.md5(norm).alias("content_md5"),
-        F.array_min(window_hashes).alias("winnow_min"),
-    ).orderBy("id")
+    kh = "_kgram_hashes"
+    n_wins = F.greatest(F.size(F.col(kh)) - (window - 1), F.lit(1))
+    window_mins = F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda i: F.array_min(F.slice(F.col(kh), i, window)),
+    )
+    return (df.withColumn(kh, kgram_hashes)
+            .select(
+                F.col(id_col).alias("id"),
+                F.md5(norm).alias("content_md5"),
+                F.array_min(F.col(kh)).alias("winnow_min"),
+                F.array_join(F.array_sort(F.array_distinct(window_mins)),
+                             ",").alias("winnow_fps"),
+            ).orderBy("id"))
 
 
 # PII patterns — cross-engine (Spark regexp_count / DuckDB) regexes.

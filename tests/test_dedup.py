@@ -161,3 +161,31 @@ def test_embedding_banded_lsh_recall(spark):
     planted = {(2 * i, 2 * i + 1) for i in range(20)}
     found = len(planted & got)
     assert found >= 15, f"recall too low: {found}/20"
+
+
+def test_minhash_verified_pairs_exact_jaccard(spark, neardup_df):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.minhash_verified_pairs(neardup_df, "id", "text",
+                                             threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0        # exact dup -> exact jaccard 1
+    assert (1, 3) in out and 0.5 <= out[(1, 3)] < 1.0
+    assert not any(4 in p for p in out)
+    # the jaccard is the EXACT char-5-gram value, not the estimate
+    rows = {r["id"]: r["text"] for r in neardup_df.collect()}
+
+    def shingles(t, k=5):
+        t = " ".join(t.lower().split())
+        return {t[i:i + k] for i in range(max(len(t) - k + 1, 1))}
+
+    g1, g3 = shingles(rows[1]), shingles(rows[3])
+    assert out[(1, 3)] == round(len(g1 & g3) / len(g1 | g3), 6)
+
+
+def test_simhash_fingerprint_range_and_determinism(neardup_df):
+    fps = {r["id"]: r["fp"]
+           for r in D.simhash_fingerprints(neardup_df, "id", "text").collect()}
+    assert all(0 <= v < (1 << 60) for v in fps.values())
+    assert fps[1] == fps[2]          # identical docs
+    fps2 = {r["id"]: r["fp"] for r in D.simhash_fingerprints(
+        neardup_df.repartition(3), "id", "text").collect()}
+    assert fps == fps2

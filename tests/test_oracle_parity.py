@@ -68,8 +68,6 @@ def test_all_queries_have_oracle_or_are_declared():
     # rows-only (non-SQL-expressible) ops — keep this list deliberate
     assert missing == {
         "infer_props_schema", "infer_by_event_type",
-        "minhash_pairs_docs", "simhash_fp_docs", "ivf_topk_embeddings",
-        "fingerprint_winnow_docs", "near_dup_clusters_docs",
         "ks_quantity_sketch",
     }
 
