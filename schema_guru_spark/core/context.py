@@ -59,18 +59,29 @@ class SchemaContext:
         does; we replicate knob-for-knob.
     derive_length: derive minLength/maxLength for strings
         (SchemaGenerator.scala:250-251).
+    strict_reference_product: reproduce the reference's product int⊕num
+        merge BIT-FOR-BIT (ProductSchema.scala:124-159), including its
+        order-dependent integer-bounds loss: when the receiver product
+        carries a number slot and the argument product carries only an
+        integer slot, the integer is DROPPED without folding. The default
+        (False) folds the integer into the number with the standard
+        widening — the commutative variant distributed tree-reduction
+        requires (core/microschema.py module docstring).
     """
 
     enum_cardinality: int = 0
     enum_sets: tuple = field(default=())  # tuple of tuples for hashability
     quantity: Optional[int] = None
     derive_length: bool = True
+    strict_reference_product: bool = False
 
     @staticmethod
     def make(enum_cardinality: int = 0, enum_sets=None, quantity=None,
-             derive_length: bool = True) -> "SchemaContext":
+             derive_length: bool = True,
+             strict_reference_product: bool = False) -> "SchemaContext":
         sets = tuple(tuple(s) for s in (enum_sets or []))
-        return SchemaContext(enum_cardinality, sets, quantity, derive_length)
+        return SchemaContext(enum_cardinality, sets, quantity, derive_length,
+                             strict_reference_product)
 
     @cached_property
     def _sets(self) -> list[tuple[frozenset, int, tuple]]:

@@ -248,15 +248,109 @@ _MERGERS = {
 }
 
 
+def _merge_strict(a: dict, b: dict, ctx: SchemaContext) -> dict:
+    """Reference-parity product merge (``strict_reference_product``):
+    ``a`` is the RECEIVER (``this`` in ``a.merge(b)``), and the int/num
+    interplay follows ProductSchema.scala:80-159 exactly:
+
+      * pure ⊕ product delegates with the product as receiver
+        (mergeToProduct, JsonSchema.scala:83-85: ``prod.merge(this)``).
+      * product ⊕ product (mergeSameType + mergeInteger): if the
+        receiver has a number slot, the int slot tombstones; the
+        argument's integer folds into the numbers ONLY when the argument
+        also has a number slot — otherwise the argument's integer bounds
+        are silently LOST (the order-dependent reference behavior the
+        default mode deliberately fixes).
+      * product ⊕ pure int/num (the ``case int:`` / ``case num:``
+        branches): folding widening, int slot erased when a number
+        exists on either side.
+      * pure ⊕ pure: int⊕num widens commutatively
+        (IntegerSchema.scala:49, NumberSchema.scala:49-62).
+
+    Consequently int and num CAN coexist in a strict-mode product
+    (receiver without num merged with argument carrying num), and the
+    operation is NOT commutative — pinned by tests/test_strict_product.py.
+    """
+    a_prod, b_prod = len(a) > 1, len(b) > 1
+    if b_prod and not a_prod:
+        return _merge_strict(b, a, ctx)
+    out: dict = {}
+    for kind in ("obj", "arr", "str", "bool", "null"):
+        ina, inb = kind in a, kind in b
+        if ina and inb:
+            out[kind] = _MERGERS[kind](a[kind], b[kind], ctx)
+        elif ina:
+            out[kind] = a[kind]
+        elif inb:
+            out[kind] = b[kind]
+    a_int, a_num = a.get("int"), a.get("num")
+    b_int, b_num = b.get("int"), b.get("num")
+    if not a_prod:                      # both pure: commutative widening
+        if a_int is not None and b_num is not None:
+            out["num"] = _merge_num(_int_as_num(a_int), b_num, ctx)
+        elif a_num is not None and b_int is not None:
+            out["num"] = _merge_num(a_num, _int_as_num(b_int), ctx)
+        else:
+            if a_int is not None or b_int is not None:
+                out["int"] = _merge_int(a_int, b_int, ctx) \
+                    if (a_int is not None and b_int is not None) \
+                    else (a_int if a_int is not None else b_int)
+            if a_num is not None or b_num is not None:
+                out["num"] = _merge_num(a_num, b_num, ctx) \
+                    if (a_num is not None and b_num is not None) \
+                    else (a_num if a_num is not None else b_num)
+    elif b_prod:                        # product ⊕ product, receiver a
+        if a_num is not None:
+            if b_num is not None:       # argument int folds in (:154-157)
+                folded = _merge_num(_int_as_num(b_int), a_num, ctx) \
+                    if b_int is not None else a_num
+                out["num"] = _merge_num(b_num, folded, ctx)
+            else:                       # argument int LOST (:146-149)
+                out["num"] = a_num
+        else:
+            if a_int is not None or b_int is not None:
+                out["int"] = _merge_int(a_int, b_int, ctx) \
+                    if (a_int is not None and b_int is not None) \
+                    else (a_int if a_int is not None else b_int)
+            if b_num is not None:
+                out["num"] = b_num
+    else:                               # receiver product, argument pure
+        if b_int is not None:           # case int: (:90-94)
+            if a_num is not None:
+                out["num"] = _merge_num(_int_as_num(b_int), a_num, ctx)
+            elif a_int is not None:
+                out["int"] = _merge_int(b_int, a_int, ctx)
+            else:
+                out["int"] = b_int
+        elif b_num is not None:         # case num: (:95-96) — folds a.int
+            m = _merge_num(b_num, a_num, ctx) if a_num is not None else b_num
+            if a_int is not None:
+                m = _merge_num(m, _int_as_num(a_int), ctx)
+            out["num"] = m
+        else:
+            if a_int is not None:
+                out["int"] = a_int
+            if a_num is not None:
+                out["num"] = a_num
+    return out
+
+
 def merge(a: dict, b: dict, ctx: SchemaContext) -> dict:
     """The monoid append: slot-wise merge of two product structs, then the
     int/num coexistence rule (JsonSchema.scala:116-118 dispatch collapsed
     into one slot-wise pass; ProductSchema.scala:80-102). Associative and
-    commutative; ``ZERO`` ({}) is the identity."""
+    commutative; ``ZERO`` ({}) is the identity.
+
+    With ``ctx.strict_reference_product`` the int/num handling instead
+    reproduces the reference's order-dependent product semantics — see
+    ``_merge_strict``.
+    """
     if not a:
         return b
     if not b:
         return a
+    if ctx.strict_reference_product:
+        return _merge_strict(a, b, ctx)
     out: dict = {}
     for kind in KINDS:
         ina, inb = kind in a, kind in b

@@ -109,6 +109,48 @@ def ivf_topk(df: DataFrame, query: Sequence[float], vec_col: str,
             .limit(k))
 
 
+def write_ivf_bucketed(df: DataFrame, path: str, vec_col: str,
+                       id_col: str, n_centroids: int = 16) -> None:
+    """Materialize the IVF layout as a WRITE-TIME table: vectors stored
+    under ``path`` partitioned by ``centroid_id`` (one directory per
+    coarse bucket), centroids under ``path + "_centroids"``.
+
+    This is the 100 TB contract: the quantizer runs ONCE at ingest, and
+    every subsequent query's ``WHERE centroid_id IN (<probes>)`` becomes
+    Hive-style partition pruning — the scan physically reads only
+    n_probe/C of the files (asserted by
+    tests/test_similarity.py::test_ivf_bucketed_scan_prunes_partitions).
+    """
+    assign, centroids = ivf_assign(df, vec_col, id_col, n_centroids)
+    data = (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+            .join(assign, "id"))
+    data.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    centroids.write.mode("overwrite").parquet(path + "_centroids")
+
+
+def ivf_topk_bucketed(spark, path: str, query: Sequence[float],
+                      k: int = 10, n_probe: int = 4) -> DataFrame:
+    """Cosine top-k over a table written by ``write_ivf_bucketed``:
+    rank the (tiny, driver-side) centroid set against the query, then
+    scan ONLY the n_probe best partitions — the isin filter prunes at
+    the directory level, no quantizer work per query."""
+    q = [float(x) for x in query]
+    cent_rows = spark.read.parquet(path + "_centroids").collect()
+
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, q))
+
+    probe = sorted(cent_rows, key=lambda r: (d2(r["cvec"]), r["centroid_id"]))
+    probe_ids = [r["centroid_id"] for r in probe[:n_probe]]
+    sub = spark.read.parquet(path).where(F.col("centroid_id").isin(probe_ids))
+    qa = F.array(*[F.lit(x) for x in q])
+    cos = _dot(F.col("v"), qa) / (_norm(F.col("v")) * _norm(qa) + F.lit(1e-12))
+    return (sub.select("id", F.round(cos, 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("id"))
+            .limit(k))
+
+
 def pairwise_topk_join(left: DataFrame, right: DataFrame, vec_col: str,
                        id_col: str, k: int = 5) -> DataFrame:
     """k-NN join of two (small-ish) embedding sets: for each left id the

@@ -112,27 +112,74 @@ def enum_candidates(df: DataFrame, column: str, cardinality: int) -> DataFrame:
     )
 
 
-def duplicate_keys(df: DataFrame, column: str) -> DataFrame:
+def _distinct_keys(df: DataFrame, column: str) -> DataFrame:
+    return (df.select(F.col(column).alias("k"))
+            .where(F.col("k").isNotNull())
+            .distinct()
+            .where(F.length("k") > 3))
+
+
+def duplicate_keys(df: DataFrame, column: str,
+                   max_driver_keys: int = 50_000) -> DataFrame:
     """Levenshtein near-duplicate detection over the DISTINCT values of a
     column — J1+J2 (LevenshteinAnnotator.scala:39-114): uniform (strip -_
-    and lowercase), all-pairs edit distance <= 1 over keys longer than 3,
-    canonical (min, max) pair order.
+    and lowercase), edit distance <= 1 over keys longer than 3, canonical
+    (min, max) pair order.
 
-    Scale shape: the DISTINCT reduction is the only data-scale stage and
-    runs distributed (partial hash-aggregate per partition, one shuffle of
-    the already-tiny key set). The pair step is schema-cardinality —
-    |distinct keys|, bounded by the schema, never by rows — so it runs on
-    the driver exactly like the reference (LevenshteinAnnotator is a
-    driver-side pass over merged-schema keys). This keeps the whole op a
-    single Spark job instead of persist + count + broadcast-nested-loop +
-    distinct (4 jobs of pure scheduling overhead for a ~20x20 product).
+    Scale shape: the DISTINCT reduction is always distributed (partial
+    hash-aggregate, one shuffle of the reduced key set). The pairing
+    stage is guarded: up to ``max_driver_keys`` distinct values it runs
+    on the driver exactly like the reference (LevenshteinAnnotator is a
+    driver-side pass over merged-schema keys — schema-cardinality data).
+    Past the cap — a caller pointing the operator at a row-scale column —
+    it falls back to ``duplicate_keys_distributed``, so no input can OOM
+    the driver. The guard costs nothing extra: the same limit(K+1)
+    collect that fetches the keys detects overflow.
     """
-    rows = (df.select(F.col(column).alias("k")).where(F.col("k").isNotNull())
-              .distinct()
-              .where(F.length("k") > 3)).collect()
-    pairs = sorted(get_duplicates({r.k for r in rows}))
+    limited = _distinct_keys(df, column).limit(max_driver_keys + 1).collect()
+    if len(limited) > max_driver_keys:
+        return duplicate_keys_distributed(df, column)
+    pairs = sorted(get_duplicates({r.k for r in limited}))
     return df.sparkSession.createDataFrame(
         pairs, "key_a string, key_b string")
+
+
+def duplicate_keys_distributed(df: DataFrame, column: str) -> DataFrame:
+    """Fully distributed edit-distance-1 pairing via deletion-neighborhood
+    blocking (the FastSS/SymSpell family): two uniformed strings within
+    edit distance 1 must share a member of D1(x) = {x} ∪ {x minus one
+    char} — equal strings share x, a substitution shares the both-deleted
+    form, an insertion shares the shorter string. So candidates come from
+    an equi-join on the exploded variant strings (shuffle key = variant;
+    |D1| = len+1 per key, bounded by key length), then exact
+    ``levenshtein <= 1`` verifies. No cross join, no driver state —
+    cost is Σ|variant-bucket|², never |keys|².
+    """
+    keys = _distinct_keys(df, column)
+    u = F.lower(F.regexp_replace("k", "[-_]", ""))
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length("u")),
+        lambda i: F.concat(F.substring("u", F.lit(1), i - 1),
+                           F.substring("u", i + 1, F.length("u"))),
+    )
+    variants = (
+        keys.withColumn("u", u)
+        .withColumn(
+            "variant",
+            F.explode(F.when(F.length("u") >= 1,
+                             F.array_union(F.array(F.col("u")), deletions))
+                      .otherwise(F.array(F.col("u")))))
+    )
+    l, r = variants.alias("l"), variants.alias("r")
+    return (
+        l.join(r, "variant")
+        .where(F.col("l.k") < F.col("r.k"))
+        .select(F.col("l.k").alias("key_a"), F.col("r.k").alias("key_b"),
+                F.col("l.u").alias("u_a"), F.col("r.u").alias("u_b"))
+        .distinct()
+        .where(F.levenshtein("u_a", "u_b") <= 1)
+        .select("key_a", "key_b")
+    )
 
 
 def group_with_latest(df: DataFrame, group_cols: list, order_cols: list) -> DataFrame:

@@ -58,6 +58,21 @@ _SCAN_OUT = ("kind string, bucket int, repo string, lang string, "
              "payload string, n bigint")
 
 
+def materialize_bucketed(df: DataFrame, path: str, n_buckets: int = 64,
+                         n_salts: int = 8) -> None:
+    """WRITE-TIME salted-bucket layout for the repo table: compute the
+    bucket once at ingest and store it as a partition directory
+    (``bucket=N/``). ``validate_repo_table`` detects the pre-existing
+    column and skips recomputing it, so its per-chunk / resume filter
+    ``bucket IN (<chunk>)`` becomes Hive-style partition pruning — a
+    resumed job physically scans only the unfinished buckets' files
+    instead of re-reading the whole table to re-derive bucket ids
+    (pinned by tests/test_pipeline.py::test_bucketed_layout_prunes).
+    """
+    (df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
+       .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
 def bucket_expr(n_buckets: int, n_salts: int):
     """Salted repo-hash bucketing."""
     return F.pmod(
@@ -243,8 +258,13 @@ def validate_repo_table(
     remaining = [b for b in range(n_buckets) if b not in done]
     chunk_size = chunk_size or n_buckets
 
-    prepared = (
+    # a table written by materialize_bucketed already carries bucket as
+    # a partition column — reuse it so chunk/resume filters prune at the
+    # directory level instead of re-deriving the hash over a full scan
+    bucketed = df if "bucket" in df.columns else \
         df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
+    prepared = (
+        bucketed
         .withColumn(
             "sha_ok",
             (F.sha2("content", 256) == F.col("content_sha"))

@@ -22,3 +22,28 @@ def sf_dir():
 
 def load(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def scan_metrics(df):
+    """Executed FileSourceScan metrics (numFiles / numPartitions) — the
+    ground truth for partition-pruning assertions. Collect the df first;
+    metrics only exist after execution."""
+    ep = df._jdf.queryExecution().executedPlan()
+    try:
+        ep = ep.finalPhysicalPlan()
+    except Exception:
+        pass
+    out = {}
+
+    def walk(node):
+        if node.children().size() == 0:
+            if "FileSourceScan" in node.getClass().getSimpleName():
+                m = node.metrics()
+                for key in ("numFiles", "numPartitions"):
+                    if m.contains(key):
+                        out[key] = out.get(key, 0) + m.apply(key).value()
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(ep)
+    return out

@@ -277,3 +277,42 @@ def test_crash_between_sink_and_manifest_does_not_duplicate(spark, repo_df,
     # one verdict row per bucket, not two
     per_bucket = res2.verdicts.groupBy("bucket").count().collect()
     assert all(r["count"] == 1 for r in per_bucket)
+
+
+def test_bucketed_layout_prunes(spark, tmp_path):
+    """materialize_bucketed writes bucket=N/ directories; the validation's
+    chunk filter over that layout prunes at the scan, and verdicts match
+    the compute-bucket-per-run path exactly."""
+    from conftest import scan_metrics
+    from schema_guru_spark.pipeline import (
+        materialize_bucketed, validate_repo_table)
+    from schema_guru_spark.sources.repo_table import synthesize_repo_table
+
+    df = synthesize_repo_table(spark, 2000)
+    path = str(tmp_path / "repo_bucketed")
+    materialize_bucketed(df, path, n_buckets=16, n_salts=4)
+
+    bucketed = spark.read.parquet(path)
+    import glob
+    n_dirs = len(glob.glob(path + "/bucket=*"))
+    assert n_dirs > 4  # layout materialized
+
+    # a chunk filter physically reads only its directories
+    chunk = [0, 1, 2]
+    sub = bucketed.where(F.col("bucket").isin(chunk))
+    sub.count()
+    m = scan_metrics(sub)
+    assert m.get("numPartitions", 99) <= len(chunk), m
+
+    # identical verdicts through both layouts
+    r_layout = validate_repo_table(spark, bucketed, n_buckets=16, n_salts=4,
+                                   max_err_rate=0.02)
+    r_compute = validate_repo_table(spark, df, n_buckets=16, n_salts=4,
+                                    max_err_rate=0.02)
+    a = sorted(tuple(r) for r in r_layout.verdicts
+               .select("bucket", "n_rows", "n_json_ok", "n_json_err",
+                       "passed").collect())
+    b = sorted(tuple(r) for r in r_compute.verdicts
+               .select("bucket", "n_rows", "n_json_ok", "n_json_err",
+                       "passed").collect())
+    assert a == b

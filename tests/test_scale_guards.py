@@ -72,3 +72,27 @@ def test_ks_exact_matches_single_partition_reference(spark):
             - bisect.bisect_right(vb, x) / len(vb))
         for x in set(pdf.v))
     assert got == pytest.approx(round(gap, 6), abs=1e-9)
+
+
+def test_duplicate_keys_guard_switches_to_distributed(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    driver = {tuple(r) for r in S.duplicate_keys(docs, "source").collect()}
+    # force the guard: cap of 2 distinct keys -> distributed path
+    dist = {tuple(r) for r in
+            S.duplicate_keys(docs, "source", max_driver_keys=2).collect()}
+    assert dist == driver and len(driver) > 0
+
+
+def test_duplicate_keys_distributed_semantics(spark):
+    # substitution, insertion, case/sep uniforming, and a >1-distance
+    # pair that must NOT match; short keys (<=3 chars) excluded
+    df = spark.createDataFrame(
+        [("userName",), ("user_name",), ("usrname",), ("username",),
+         ("wholly_different",), ("ab",)], "k string")
+    got = {tuple(r) for r in
+           S.duplicate_keys_distributed(df, "k").collect()}
+    from schema_guru_spark.core.levenshtein import get_duplicates
+    expected = get_duplicates(
+        {"userName", "user_name", "usrname", "username",
+         "wholly_different"})
+    assert got == expected
