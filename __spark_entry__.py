@@ -202,6 +202,24 @@ def q_drift_price_by_returnflag(spark, sf):
                                 "l_extendedprice", "l_returnflag")
 
 
+def q_wav_decode_features(spark, sf):
+    # REAL audio decode: rows carry actual PCM WAV payloads of a
+    # deterministic integer pattern; the pure-Python RIFF/PCM codec
+    # decodes them and the oracle recomputes amplitude stats
+    # analytically — a hash match proves the decoder round-trips the
+    # encoder (header parse, alignment, sample widths).
+    from schema_guru_spark.operators import multimodal as MM
+    ids = _t(spark, sf, "documents").where(F.col("doc_id") < 40) \
+        .select("doc_id")
+    feats = MM.decode_audio_features(MM.attach_wav_media(ids, "doc_id"),
+                                     id_col="doc_id")
+    return feats.select(
+        "id", "n_samples", "n_channels", "sample_rate", "duration_ms",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("id")
+
+
 def q_png_decode_features(spark, sf):
     # REAL media decode: rows get actual encoded PNGs of a deterministic
     # test pattern (all 5 predictor filters exercised), the pure-Python
@@ -241,6 +259,15 @@ def q_near_dup_clusters_docs(spark, sf):
 def q_simhash_fp_docs(spark, sf):
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     return D.simhash_fingerprints(docs, "doc_id", "text").orderBy("id")
+
+
+def q_simhash_neardup_docs(spark, sf):
+    # pigeonhole banding has recall 1 by construction (a pair within
+    # max_hamming flips must share a chunk), so the all-pairs oracle is
+    # an exact twin, not a probabilistic one
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return D.simhash_near_duplicates(docs, "doc_id", "text",
+                                     max_hamming=6).orderBy("id_a", "id_b")
 
 
 def q_ivf_topk_embeddings(spark, sf):
@@ -305,9 +332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "drift_price_by_returnflag": q_drift_price_by_returnflag,
         "png_decode_features": q_png_decode_features,
+        "wav_decode_features": q_wav_decode_features,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "simhash_fp_docs": q_simhash_fp_docs,
+        "simhash_neardup_docs": q_simhash_neardup_docs,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "fingerprint_winnow_docs": q_fingerprint_winnow_docs,
         "infer_props_schema": q_infer_props_schema,
@@ -404,6 +433,32 @@ _CHAR_JACCARD_PAIRS_CTE = r"""
       FROM inter
       JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
       WHERE common / (sa.sz + sb.sz - common) >= 0.6)
+"""
+
+
+# md5-prefix 60-bit simhash fingerprints (doc_id < 200) — the bit-exact
+# twin of dedup.simhash_fingerprints; shared by the fp and pair oracles.
+_SIMHASH_FPS_CTE = r"""
+    d AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 200),
+    toks AS (
+      SELECT id, tok, count(*)::BIGINT AS cnt FROM (
+        SELECT id, unnest(regexp_split_to_array(
+            lower(trim(text)), '\s+')) AS tok FROM d)
+      WHERE tok <> '' GROUP BY 1, 2),
+    hashed AS (
+      SELECT id, cnt, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks),
+    bits AS (
+      SELECT id, b.j, sum(cnt * (((h >> b.j) & 1) * 2 - 1)) AS s
+      FROM hashed CROSS JOIN generate_series(0, 59) b(j)
+      GROUP BY 1, 2),
+    fps0 AS (
+      SELECT id, sum(CASE WHEN s > 0 THEN 1::BIGINT << j
+                          ELSE 0 END)::BIGINT AS fp
+      FROM bits GROUP BY 1),
+    fps AS (
+      SELECT d.id, coalesce(fps0.fp, 0)::BIGINT AS fp
+      FROM (SELECT DISTINCT id FROM d) d LEFT JOIN fps0 USING (id))
 """
 
 
@@ -618,6 +673,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT p AS l_returnflag, round(sum((pp - pg) * ln(pp / pg)), 6) AS psi
             FROM terms GROUP BY 1 ORDER BY 1
         """,
+        "wav_decode_features": """
+            -- analytic twin of the WAV test pattern
+            -- s(t) = ((t*t + 7t + 31*id) mod 2001) - 1000, mono 8 kHz
+            WITH ids AS (
+              SELECT doc_id AS id, ((doc_id % 5) + 1) * 400 AS n
+              FROM documents WHERE doc_id < 40),
+            s AS (
+              SELECT i.id, i.n,
+                     ((gt.t * gt.t + 7 * gt.t + 31 * i.id) % 2001) - 1000
+                       AS v
+              FROM ids i CROSS JOIN generate_series(0, 1999) gt(t)
+              WHERE gt.t < i.n)
+            SELECT id, n::INT AS n_samples, 1::INT AS n_channels,
+                   8000::INT AS sample_rate,
+                   (n * 1000 // 8000)::INT AS duration_ms,
+                   round(avg(abs(v)), 6) AS mean_abs,
+                   round(sqrt(avg(v * v)), 6) AS rms
+            FROM s GROUP BY id, n ORDER BY id
+        """,
         "png_decode_features": """
             -- analytic twin of the PNG test pattern: the Spark side
             -- encodes px(x,y,c) = (7x+13y+29c+31*id) mod 256 into real
@@ -679,31 +753,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, min(r)::BIGINT AS cluster_id
             FROM reach GROUP BY id ORDER BY id
         """,
-        "simhash_fp_docs": r"""
-            WITH d AS (SELECT doc_id AS id, text FROM documents
-                       WHERE doc_id < 200),
-            toks AS (
-              SELECT id, tok, count(*)::BIGINT AS cnt FROM (
-                SELECT id, unnest(regexp_split_to_array(
-                    lower(trim(text)), '\s+')) AS tok FROM d)
-              WHERE tok <> '' GROUP BY 1, 2),
-            hashed AS (
-              SELECT id, cnt,
-                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-              FROM toks),
-            bits AS (
-              SELECT id, b.j,
-                     sum(cnt * (((h >> b.j) & 1) * 2 - 1)) AS s
-              FROM hashed CROSS JOIN generate_series(0, 59) b(j)
-              GROUP BY 1, 2),
-            fps AS (
-              SELECT id,
-                     sum(CASE WHEN s > 0 THEN 1::BIGINT << j
-                              ELSE 0 END)::BIGINT AS fp
-              FROM bits GROUP BY 1)
-            SELECT d.id, coalesce(fps.fp, 0)::BIGINT AS fp
-            FROM (SELECT DISTINCT id FROM d) d LEFT JOIN fps USING (id)
-            ORDER BY id
+        "simhash_fp_docs": f"""
+            WITH {_SIMHASH_FPS_CTE}
+            SELECT id, fp FROM fps ORDER BY id
+        """,
+        "simhash_neardup_docs": f"""
+            WITH {_SIMHASH_FPS_CTE}
+            SELECT a.id AS id_a, b.id AS id_b,
+                   bit_count(xor(a.fp, b.fp))::INT AS hamming
+            FROM fps a JOIN fps b ON a.id < b.id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 6
+            ORDER BY id_a, id_b
         """,
         "ivf_topk_embeddings": """
             -- probe-all IVF == brute force (losslessness oracle)

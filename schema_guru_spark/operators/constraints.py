@@ -186,22 +186,23 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
         F.sum(F.when(F.col("g") == g2, 1).otherwise(0)).alias("d2"),
     )
     ranged = (per_value.repartitionByRange(n_range_parts, "v")
-              .withColumn("pid", F.spark_partition_id())
-              .localCheckpoint())
-    # Exclusive prefix offsets per range partition: |non-empty ranges|
-    # rows — bounded by n_range_parts, independent of data size.
-    subtotals = sorted(
-        ranged.groupBy("pid").agg(F.sum("d1").alias("s1"),
-                                  F.sum("d2").alias("s2")).collect(),
-        key=lambda r: r["pid"])
-    offsets, acc1, acc2 = [], 0, 0
-    for r in subtotals:
-        offsets.append((r["pid"], acc1, acc2))
-        acc1 += r["s1"]
-        acc2 += r["s2"]
-    n1, n2 = max(acc1, 1), max(acc2, 1)
-    off = ranged.sparkSession.createDataFrame(
-        offsets or [(0, 0, 0)], "pid int, off1 long, off2 long")
+              .withColumn("pid", F.spark_partition_id()))
+    # Exclusive prefix offsets per range partition, computed WITHOUT a
+    # global window or a driver collect: the per-pid subtotal frame is
+    # bounded by n_range_parts rows, so the triangular (b.pid < a.pid)
+    # self-join is a tiny broadcast nested loop and the whole statistic
+    # stays one DAG (the range exchange is planned once and reused by
+    # both branches).
+    pid_tot = ranged.groupBy("pid").agg(F.sum("d1").alias("s1"),
+                                        F.sum("d2").alias("s2"))
+    a, b = pid_tot.alias("a"), pid_tot.alias("b")
+    off = (a.join(b, F.col("b.pid") < F.col("a.pid"), "left")
+           .groupBy(F.col("a.pid").alias("pid"))
+           .agg(F.coalesce(F.sum("b.s1"), F.lit(0)).alias("off1"),
+                F.coalesce(F.sum("b.s2"), F.lit(0)).alias("off2")))
+    tot = pid_tot.agg(
+        F.greatest(F.sum("s1"), F.lit(1)).cast("double").alias("n1"),
+        F.greatest(F.sum("s2"), F.lit(1)).cast("double").alias("n2"))
     w = (Window.partitionBy("pid").orderBy("v")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cdfs = (
@@ -209,8 +210,9 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
         .withColumn("c1", F.sum("d1").over(w))
         .withColumn("c2", F.sum("d2").over(w))
         .join(F.broadcast(off), "pid")
-        .select((F.abs((F.col("c1") + F.col("off1")) / F.lit(float(n1))
-                       - (F.col("c2") + F.col("off2")) / F.lit(float(n2))))
+        .crossJoin(F.broadcast(tot))
+        .select((F.abs((F.col("c1") + F.col("off1")) / F.col("n1")
+                       - (F.col("c2") + F.col("off2")) / F.col("n2")))
                 .alias("gap"))
     )
     return cdfs.agg(F.round(F.max("gap"), 6).alias("ks_stat"))

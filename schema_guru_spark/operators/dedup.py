@@ -260,19 +260,26 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
-                            max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(fp_a, fp_b) <= max_hamming.
+                            max_hamming: int = 3,
+                            n_chunks: int | None = None) -> DataFrame:
+    """Near-dup pairs with hamming(fp_a, fp_b) <= max_hamming — EXACT
+    (unlike minhash LSH, recall here is 1 by construction).
 
-    Pigeonhole banding: with 4 16-bit chunks, any pair within hamming 3
-    must agree on >= 1 chunk — candidates come from 4 equi-joins on
-    (chunk_idx, chunk_value); exact hamming verified with bit_count.
+    Pigeonhole banding: split the fingerprint into ``n_chunks`` disjoint
+    chunks (default max_hamming + 1); a pair within ``max_hamming`` bit
+    flips must agree on >= 1 chunk, so candidates come from equi-joins
+    on (chunk_idx, chunk_value) and exact hamming verifies with
+    bit_count. Cost is Σ|chunk-bucket|², never |docs|².
     """
+    n_chunks = n_chunks or (max_hamming + 1)
+    width = -(-SIMHASH_BITS // n_chunks)   # ceil
+    mask = (1 << width) - 1
     fps = simhash_fingerprints(df, id_col, text_col).localCheckpoint()
     chunks = fps.select(
         "id", "fp",
         F.posexplode(F.array(*[
-            F.shiftrightunsigned("fp", s).bitwiseAND(F.lit(0xFFFF))
-            for s in (0, 16, 32, 48)
+            F.shiftrightunsigned("fp", i * width).bitwiseAND(F.lit(mask))
+            for i in range(n_chunks)
         ])).alias("chunk", "cval"),
     )
     l, r = chunks.alias("l"), chunks.alias("r")
@@ -386,7 +393,11 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
 
     buckets = df.select(id_col, vec_col).mapInPandas(
         fn, f"id {dict(df.dtypes)[id_col]}, band int, bucket bigint")
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # double-cast BEFORE the dot product: float32 inputs widen exactly,
+    # so the verify arithmetic is bit-identical to the (double-based)
+    # oracle and to the numpy bucketing above
+    vecs = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
     l = buckets.alias("l")
     r = buckets.alias("r")
     cand = (l.join(r, ["band", "bucket"])

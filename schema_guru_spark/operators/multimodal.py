@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from schema_guru_spark.operators.png import (
     PNG_SIGNATURE, decode_png, encode_png,
 )
+from schema_guru_spark.operators.wav import decode_wav, encode_wav
 
 MEDIA_META = T.StructType([
     T.StructField("kind", T.StringType()),
@@ -100,6 +101,76 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
         T.StructField("media", MEDIA_SCHEMA),
     ])
     return df.select(id_col).mapInPandas(fn, out_schema)
+
+
+def _wav_samples(rid: int) -> np.ndarray:
+    """Deterministic audio test pattern for id ``rid`` — like
+    ``_png_pixels``, an integer formula both the encode/decode path and
+    the DuckDB oracle can evaluate:
+        s(t) = ((t*t + 7t + 31*rid) mod 2001) - 1000,  mono int16,
+        n = (rid mod 5 + 1) * 400 samples at 8 kHz.
+    """
+    rid = int(rid)
+    n = (rid % 5 + 1) * 400
+    t = np.arange(n, dtype=np.int64)
+    return (((t * t + 7 * t + 31 * rid) % 2001) - 1000).astype(np.int16)
+
+
+def attach_wav_media(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL WAV media column: each row carries an actual PCM-encoded WAV
+    of the deterministic test pattern. Arrow-batched."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = []
+            for rid in pdf[id_col]:
+                s = _wav_samples(rid)
+                medias.append({
+                    "data": encode_wav(s, 8000),
+                    "meta": {"kind": "audio", "format": "wav",
+                             "width": None, "height": None,
+                             "duration_ms": len(s) * 1000 // 8000}})
+            yield pd.DataFrame({id_col: pdf[id_col], "media": medias})
+
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("media", MEDIA_SCHEMA),
+    ])
+    return df.select(id_col).mapInPandas(fn, out_schema)
+
+
+def decode_audio_features(df: DataFrame, media_col: str = "media",
+                          id_col: str = "id") -> DataFrame:
+    """REAL audio decode -> per-clip features over ``mapInPandas``:
+    (id, n_samples, n_channels, sample_rate, duration_ms, mean_abs,
+    rms). WAV payloads are decoded by the pure-Python PCM codec; other
+    audio formats raise NotImplementedError (declared stub — codecs not
+    in this container)."""
+
+    out_schema = ("id bigint, n_samples int, n_channels int, "
+                  "sample_rate int, duration_ms int, "
+                  "mean_abs double, rms double")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, media in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(media["data"])
+                if data[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "only PCM WAV decode is available in this "
+                        "container")
+                samples, rate = decode_wav(data)
+                x = samples.astype(np.float64)
+                rows.append((int(rid), samples.shape[0], samples.shape[1],
+                             rate, samples.shape[0] * 1000 // rate,
+                             float(np.abs(x).mean()),
+                             float(np.sqrt((x * x).mean()))))
+            yield pd.DataFrame(rows, columns=[
+                "id", "n_samples", "n_channels", "sample_rate",
+                "duration_ms", "mean_abs", "rms"])
+
+    return df.select(id_col, media_col).mapInPandas(fn, out_schema)
 
 
 def _fake_decode(data: bytes, width: int, height: int) -> np.ndarray:

@@ -109,8 +109,80 @@ def ivf_topk(df: DataFrame, query: Sequence[float], vec_col: str,
             .limit(k))
 
 
+def ivf_train_kmeans(df: DataFrame, vec_col: str, id_col: str,
+                     n_centroids: int = 16, n_iters: int = 5) -> DataFrame:
+    """Distributed Lloyd's k-means refinement of the IVF coarse
+    quantizer — entirely DataFrame ops, no Python in the loop:
+
+      assign:  broadcast the C centroids, |df| x C distance expressions
+               (JVM zip_with/aggregate), per-id argmin via window over C
+               rows per id
+      update:  posexplode to (centroid, dim, val) rows, one
+               groupBy(centroid, dim) avg — a map-side-combined hash
+               aggregate whose output is C x dim rows regardless of
+               data size — then arrays reassembled from sorted
+               (dim, mean) structs
+
+    Empty clusters keep their previous centroid (left-join + coalesce).
+    Deterministic: seeded by the xxhash64 sample of ``ivf_assign``; each
+    round localCheckpoints the (tiny) centroid frame to truncate the
+    iterative lineage. Returns centroids(centroid_id, cvec).
+    """
+    from pyspark.sql.window import Window
+
+    vecs = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    _, centroids = ivf_assign(df, vec_col, id_col, n_centroids)
+    centroids = centroids.localCheckpoint()
+    best = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    d2 = F.aggregate(F.zip_with("v", "cvec", lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    for _ in range(n_iters):
+        assign = (vecs.crossJoin(F.broadcast(centroids))
+                  .select("id", "v", "centroid_id", d2.alias("d2"))
+                  .withColumn("rn", F.row_number().over(best))
+                  .where(F.col("rn") == 1)
+                  .select("id", "v", "centroid_id"))
+        dim_means = (assign
+                     .select("centroid_id",
+                             F.posexplode("v").alias("dim", "val"))
+                     .groupBy("centroid_id", "dim")
+                     .agg(F.avg("val").alias("m")))
+        new_cent = (dim_means
+                    .groupBy("centroid_id")
+                    .agg(F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                        lambda s: s["m"]).alias("cvec")))
+        centroids = (centroids.select("centroid_id",
+                                      F.col("cvec").alias("prev"))
+                     .join(new_cent, "centroid_id", "left")
+                     .select("centroid_id",
+                             F.coalesce("cvec", "prev").alias("cvec"))
+                     .localCheckpoint())
+    return centroids
+
+
+def ivf_assign_to(df: DataFrame, centroids: DataFrame, vec_col: str,
+                  id_col: str) -> DataFrame:
+    """Assign every vector to its nearest centroid from a TRAINED
+    centroid set (one broadcast pass) — the write-time bucketing step
+    when k-means centroids replace the pseudo-random sample."""
+    from pyspark.sql.window import Window
+
+    vecs = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    d2 = F.aggregate(F.zip_with("v", "cvec", lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    best = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    return (vecs.crossJoin(F.broadcast(centroids))
+            .select("id", "centroid_id", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(best))
+            .where(F.col("rn") == 1).select("id", "centroid_id"))
+
+
 def write_ivf_bucketed(df: DataFrame, path: str, vec_col: str,
-                       id_col: str, n_centroids: int = 16) -> None:
+                       id_col: str, n_centroids: int = 16,
+                       centroids: DataFrame | None = None) -> None:
     """Materialize the IVF layout as a WRITE-TIME table: vectors stored
     under ``path`` partitioned by ``centroid_id`` (one directory per
     coarse bucket), centroids under ``path + "_centroids"``.
@@ -120,8 +192,14 @@ def write_ivf_bucketed(df: DataFrame, path: str, vec_col: str,
     Hive-style partition pruning — the scan physically reads only
     n_probe/C of the files (asserted by
     tests/test_similarity.py::test_ivf_bucketed_scan_prunes_partitions).
+
+    Pass trained ``centroids`` (e.g. from ``ivf_train_kmeans``) to
+    bucket against them; default uses the deterministic sample quantizer.
     """
-    assign, centroids = ivf_assign(df, vec_col, id_col, n_centroids)
+    if centroids is not None:
+        assign = ivf_assign_to(df, centroids, vec_col, id_col)
+    else:
+        assign, centroids = ivf_assign(df, vec_col, id_col, n_centroids)
     data = (df.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
             .join(assign, "id"))

@@ -86,3 +86,62 @@ def test_png_codec_rejects_corruption():
     data[40] ^= 0xFF                          # flip a byte inside IDAT
     with pytest.raises(ValueError):
         decode_png(bytes(data))               # CRC must catch it
+
+
+def test_wav_codec_roundtrip_pure():
+    import numpy as np
+    from schema_guru_spark.operators.wav import decode_wav, encode_wav
+
+    rng = np.random.RandomState(3)
+    for shape in [(100,), (257, 2)]:
+        a = rng.randint(-32768, 32767, size=shape).astype(np.int16)
+        back, rate = decode_wav(encode_wav(a, 44100))
+        assert rate == 44100
+        exp = a[:, None] if a.ndim == 1 else a
+        assert np.array_equal(back, exp)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(np.zeros(10, np.int16))[:20])
+
+
+def test_wav_decode_bit_depths():
+    import struct
+    import numpy as np
+    from schema_guru_spark.operators.wav import decode_wav
+
+    def raw_wav(bits, payload, ch=1, rate=8000):
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                          ch * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 8-bit unsigned recentres to signed
+    s, _ = decode_wav(raw_wav(8, bytes([0, 128, 255])))
+    assert s[:, 0].tolist() == [-128, 0, 127]
+    # 24-bit sign-extends
+    pay = (b"\x00\x00\x80"     # -2^23
+           + b"\xff\xff\x7f")  # 2^23 - 1
+    s, _ = decode_wav(raw_wav(24, pay))
+    assert s[:, 0].tolist() == [-(1 << 23), (1 << 23) - 1]
+    # 32-bit little-endian signed
+    pay = struct.pack("<ii", -7, 40000)
+    s, _ = decode_wav(raw_wav(32, pay))
+    assert s[:, 0].tolist() == [-7, 40000]
+
+
+def test_real_wav_decode_features(spark):
+    import numpy as np
+
+    ids = spark.range(10).select(F.col("id").alias("doc_id"))
+    feats = MM.decode_audio_features(MM.attach_wav_media(ids, "doc_id"),
+                                     id_col="doc_id")
+    rows = {r["id"]: r for r in feats.collect()}
+    assert len(rows) == 10
+    for rid in range(10):
+        s = MM._wav_samples(rid).astype(np.float64)
+        r = rows[rid]
+        assert r["n_samples"] == len(s) and r["sample_rate"] == 8000
+        assert r["mean_abs"] == pytest.approx(np.abs(s).mean())
+        assert r["rms"] == pytest.approx(np.sqrt((s * s).mean()))

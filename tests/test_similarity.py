@@ -100,3 +100,34 @@ def test_ivf_bucketed_scan_prunes_partitions(spark, sf_dir, tmp_path):
     full = SIM.ivf_topk_bucketed(spark, path, qvec, k=5, n_probe=8).collect()
     brute = SIM.cosine_topk(emb, qvec, "embedding", "vec_id", k=5).collect()
     assert [tuple(r) for r in full] == [tuple(r) for r in brute]
+
+
+def test_kmeans_ivf_training_improves_quantizer(spark, sf_dir):
+    """Lloyd's rounds must not increase total quantization error, and
+    the trained centroids must plug into assignment + bucketed layout."""
+    from schema_guru_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def sse(centroids):
+        assign = SIM.ivf_assign_to(emb, centroids, "embedding", "vec_id")
+        vecs = emb.select(F.col("vec_id").alias("id"),
+                          F.col("embedding").cast("array<double>").alias("v"))
+        joined = vecs.join(assign, "id").join(centroids, "centroid_id")
+        d2 = F.aggregate(
+            F.zip_with("v", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return joined.agg(F.sum(d2)).collect()[0][0]
+
+    _, init = SIM.ivf_assign(emb, "embedding", "vec_id", n_centroids=8)
+    trained = SIM.ivf_train_kmeans(emb, "embedding", "vec_id",
+                                   n_centroids=8, n_iters=3)
+    e0, e1 = sse(init.localCheckpoint()), sse(trained)
+    assert e1 <= e0 * 1.0001, (e0, e1)  # monotone non-increasing
+    assert trained.count() == 8
+    # dims survive the explode/reassemble roundtrip
+    dim = len(emb.first()["embedding"])
+    assert all(len(r["cvec"]) == dim for r in trained.collect())
+    # assignment over trained centroids covers every vector exactly once
+    assign = SIM.ivf_assign_to(emb, trained, "embedding", "vec_id")
+    assert assign.count() == emb.count()
