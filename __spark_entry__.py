@@ -92,6 +92,15 @@ def q_duplicate_keys_source(spark, sf):
             .orderBy("key_a", "key_b")
 
 
+def q_duplicate_keys_distributed(spark, sf):
+    # the past-the-guard plan (deletion-neighborhood equi-join + exact
+    # levenshtein verify) must produce byte-identical pairs to the
+    # driver-side reference pairing — same oracle SQL
+    return S.duplicate_keys_distributed(_t(spark, sf, "documents"),
+                                        "source") \
+            .orderBy("key_a", "key_b")
+
+
 def q_segment_props(spark, sf):
     return S.segment_counts(_t(spark, sf, "events"), "props", "$.k")
 
@@ -312,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_orderpriority": q_enum_orderpriority,
         "enum_over_cardinality": q_enum_over_cardinality,
         "duplicate_keys_source": q_duplicate_keys_source,
+        "duplicate_keys_distributed": q_duplicate_keys_distributed,
         "segment_props": q_segment_props,
         "latest_event_per_user": q_latest_event_per_user,
         "uniqueness_orders": q_uniqueness_orders,
@@ -483,6 +493,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "duplicate_keys_source": """
+            WITH keys AS (
+              SELECT DISTINCT source AS k FROM documents
+              WHERE source IS NOT NULL AND length(source) > 3)
+            SELECT DISTINCT least(a.k, b.k) AS key_a, greatest(a.k, b.k) AS key_b
+            FROM keys a CROSS JOIN keys b
+            WHERE a.k <> b.k
+              AND levenshtein(lower(regexp_replace(a.k, '[-_]', '', 'g')),
+                              lower(regexp_replace(b.k, '[-_]', '', 'g'))) <= 1
+            ORDER BY key_a, key_b
+        """,
+        "duplicate_keys_distributed": """
             WITH keys AS (
               SELECT DISTINCT source AS k FROM documents
               WHERE source IS NOT NULL AND length(source) > 3)

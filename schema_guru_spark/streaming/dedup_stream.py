@@ -1,0 +1,67 @@
+"""Streaming deduplication for continuously-ingested corpora.
+
+The batch dedup family (operators/dedup.py) assumes a complete table;
+an ingest pipeline sees an unbounded stream. Two shapes, both pure
+Structured Streaming built-ins — the state store, watermark eviction,
+and exactly-once sink semantics come for free:
+
+  * ``streaming_exact_dedup`` — drop rows whose content digest was
+    already seen. ``dropDuplicatesWithinWatermark`` keys the state
+    store on the digest and EVICTS entries older than the watermark —
+    bounded state on an unbounded stream (a plain ``dropDuplicates``
+    would grow state forever; at 100 TB/day that is an OOM, so the
+    watermarked variant is the only admissible plan).
+  * ``streaming_minhash_buckets`` — per-arrival LSH band buckets
+    (same banding as the batch path), so near-dup candidate pairing
+    against the historical index becomes a stream-static join on
+    (band, band_hash) downstream.
+
+Reference: batch-only (SURVEY.md §2 'Streaming'); these are
+brief-mandated training-data-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def streaming_exact_dedup(stream: DataFrame, content_col: str,
+                          ts_col: str, watermark: str = "10 minutes",
+                          digest: str = "md5") -> DataFrame:
+    """First-writer-wins exact dedup on a content digest.
+
+    State: one digest per distinct content inside the watermark horizon;
+    late duplicates beyond the horizon are the documented trade-off
+    (bounded state vs infinite memory). The digest column stays on the
+    output for downstream keyed sinks.
+    """
+    dig = (F.md5(F.col(content_col)) if digest == "md5"
+           else F.sha2(F.col(content_col), 256))
+    return (stream
+            .withColumn("digest", dig)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["digest"]))
+
+
+def streaming_minhash_buckets(stream: DataFrame, id_col: str,
+                              text_col: str, n_hashes: int = 64,
+                              bands: int = 16,
+                              shingle_k: int = 5) -> DataFrame:
+    """(id, band, band_hash) bucket rows per arriving doc — identical
+    hashing to the batch ``minhash_signatures``/banding, so stream
+    buckets join against a batch-built index without re-hashing."""
+    from schema_guru_spark.operators.dedup import minhash_signatures
+
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sigs = minhash_signatures(stream, id_col, text_col, n_hashes,
+                              shingle_k)
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice("sig", i * r + 1, r)),
+            )
+        ).alias("band", "band_hash"),
+    )

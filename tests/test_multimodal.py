@@ -145,3 +145,43 @@ def test_real_wav_decode_features(spark):
         assert r["n_samples"] == len(s) and r["sample_rate"] == 8000
         assert r["mean_abs"] == pytest.approx(np.abs(s).mean())
         assert r["rms"] == pytest.approx(np.sqrt((s * s).mean()))
+
+
+# property-based codec roundtrips (no Spark)
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12), w=st.integers(1, 12),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    ft=st.one_of(st.integers(0, 4), st.none()),
+)
+def test_png_roundtrip_property(h, w, ch, seed, ft):
+    import numpy as np
+    from schema_guru_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    filters = ft if ft is not None else [
+        rng.randint(0, 5) for _ in range(h)]
+    assert np.array_equal(decode_png(encode_png(arr, filters)), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 300), ch=st.integers(1, 3),
+    rate=st.sampled_from([8000, 22050, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    import numpy as np
+    from schema_guru_spark.operators.wav import decode_wav, encode_wav
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(-32768, 32767, size=(n, ch)).astype(np.int16)
+    back, got_rate = decode_wav(encode_wav(a, rate))
+    assert got_rate == rate
+    assert np.array_equal(back, a)

@@ -162,3 +162,44 @@ def test_by_key_inference_single_state_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "ReadSchema: struct<event_type:string,props:string>" in \
         plan_of(df)
+
+
+def test_simhash_is_pure_jvm(tables):
+    """Round 2 moved simhash from mapInPandas to JVM expressions — no
+    Python evaluation node may appear in the plan (the final aggregate
+    and the fingerprint reassembly are codegen-able expressions)."""
+    from schema_guru_spark.operators import dedup as D
+    fp = D.simhash_fingerprints(tables["documents"], "doc_id", "text")
+    p = plan_of(fp)
+    assert "EvalPython" not in p and "mapInPandas" not in p.lower()
+
+
+def test_winnow_fingerprints_pure_jvm_no_shuffle(tables):
+    from schema_guru_spark.operators import textstats as TS
+    fp = TS.fingerprints(tables["documents"], "text", "doc_id")
+    p = plan_of(fp)
+    assert "EvalPython" not in p
+    # one pass: the only exchange allowed is the final orderBy's range
+    # exchange — no aggregation/join shuffles
+    import re
+    exchanges = re.findall(r"Exchange (\w+)", p)
+    assert all("range" in e.lower() for e in exchanges), exchanges
+
+
+def test_minhash_verified_pairs_no_cartesian(spark, sf_dir):
+    from schema_guru_spark.operators import dedup as D
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") < 60)
+    pairs = D.minhash_verified_pairs(docs, "doc_id", "text", threshold=0.6)
+    p = plan_of(pairs)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_duplicate_keys_distributed_no_cartesian(tables):
+    out = S.duplicate_keys_distributed(tables["documents"], "source")
+    p = plan_of(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the deletion-variant equi-join is a real join on the variant key
+    assert "variant" in p

@@ -125,3 +125,76 @@ def test_windowed_violation_counts_with_watermark(spark, tmp_path):
     second = rows["2024-01-01 00:01:00"]
     assert (second["n_docs"], second["n_invalid"]) == (2, 1)
     assert abs(second["err_rate"] - 0.5) < 1e-9
+
+
+def test_streaming_exact_dedup_drops_repeats(spark, tmp_path):
+    """Duplicate content inside the watermark horizon is dropped
+    (first-writer-wins) and the state is keyed on the digest."""
+    import datetime as dt
+
+    from schema_guru_spark.streaming.dedup_stream import (
+        streaming_exact_dedup)
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "alpha content", base),
+        (2, "alpha content", base + dt.timedelta(seconds=30)),  # dup
+        (3, "beta content", base + dt.timedelta(seconds=40)),
+        (4, "beta content", base + dt.timedelta(seconds=50)),   # dup
+        (5, "gamma content", base + dt.timedelta(seconds=60)),
+    ]
+    spark.createDataFrame(rows, "id long, text string, ts timestamp") \
+        .repartition(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "id long, text string, ts timestamp").parquet(src)
+    out = streaming_exact_dedup(stream, "text", "ts",
+                                watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_out").collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["alpha content", "beta content", "gamma content"]
+    assert all(r["digest"] is not None for r in got)
+
+
+def test_streaming_minhash_buckets_match_batch(spark, tmp_path):
+    """Stream-side band buckets must hash identically to the batch
+    banding, so a stream-static candidate join is well-defined."""
+    from schema_guru_spark.operators.dedup import (
+        _lsh_candidates, minhash_signatures)
+    from schema_guru_spark.streaming.dedup_stream import (
+        streaming_minhash_buckets)
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different text about something else")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    src = str(tmp_path / "src")
+    df.repartition(1).write.parquet(src)
+
+    stream = spark.readStream.schema("id long, text string").parquet(src)
+    buckets = streaming_minhash_buckets(stream, "id", "text")
+    q = (buckets.writeStream.format("memory").queryName("stream_buckets")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["id"], r["band"], r["band_hash"])
+           for r in spark.sql("SELECT * FROM stream_buckets").collect()}
+
+    sigs = minhash_signatures(df, "id", "text")
+    batch = sigs.select(
+        "id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.hash(F.slice("sig", i * 4 + 1, 4)))).alias(
+                "band", "band_hash"))
+    expected = {(r["id"], r["band"], r["band_hash"])
+                for r in batch.collect()}
+    assert got == expected
+    # identical docs share every bucket -> they are LSH candidates
+    assert len({b for (i, b, h) in got if i == 1}
+               & {b for (i, b, h) in got if i == 2}) == 16
