@@ -296,6 +296,50 @@ def q_fingerprint_winnow_docs(spark, sf):
              .select("id", "winnow_min", "winnow_fps")
 
 
+def q_infer_top_keys(spark, sf):
+    # an ORACLE for the inference path after all: the merged schema's
+    # top-level property set must equal DuckDB's independent union of
+    # JSON object keys, and the ok/err counters must match its
+    # json_valid accounting — pins P1/P2 routing and the A5 object
+    # key-union merge without needing the full recursive render in SQL.
+    res = infer_json_column(_t(spark, sf, "events"), "props", CTX)
+    sch = res.schema(CTX)
+    keys = sorted((sch.get("properties") or {}).keys())
+    return spark.createDataFrame(
+        [(res.n_ok, res.n_err, ",".join(keys))],
+        "n_ok long, n_err long, top_keys string")
+
+
+def q_infer_numeric_bounds(spark, sf):
+    # pins derivation (D9) + integer merge (A3) + T1 encasing THROUGH
+    # the distributed engine: the rendered property's type/min/max must
+    # equal the SQL-side encasing of the observed json_extract range
+    res = infer_json_column(_t(spark, sf, "events"), "props", CTX)
+    k = (res.schema(CTX).get("properties") or {}).get("k", {})
+    return spark.createDataFrame(
+        [(k.get("type"), k.get("minimum"), k.get("maximum"))],
+        "k_type string, k_min long, k_max long")
+
+
+def q_infer_by_type_keys(spark, sf):
+    # flat projection of the per-key (A8) merge output: per event_type,
+    # the merged schema's key set and encased integer bounds — all
+    # independently recomputable by the oracle from json_keys /
+    # json_extract aggregates
+    out = infer_json_column_by_key(_t(spark, sf, "events"), "props",
+                                   "event_type", CTX).collect()
+    rows = []
+    for r in out:
+        sch = json.loads(r["schema"])
+        props = sch.get("properties") or {}
+        kk = props.get("k", {})
+        rows.append((r["event_type"], ",".join(sorted(props)),
+                     kk.get("minimum"), kk.get("maximum")))
+    return spark.createDataFrame(
+        sorted(rows),
+        "event_type string, top_keys string, k_min long, k_max long")
+
+
 # --- non-SQL-expressible (recursive merge state): rows-only checks ---
 
 def q_infer_props_schema(spark, sf):
@@ -349,6 +393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "fingerprint_winnow_docs": q_fingerprint_winnow_docs,
+        "infer_top_keys": q_infer_top_keys,
+        "infer_numeric_bounds": q_infer_numeric_bounds,
+        "infer_by_type_keys": q_infer_by_type_keys,
         "infer_props_schema": q_infer_props_schema,
         "infer_by_event_type": q_infer_by_event_type,
     }
@@ -399,6 +446,26 @@ def _numeric_profile_sql(table: str, col: str) -> str:
             ELSE 9223372036854775807 END)::BIGINT AS encased_max
     FROM agg
     """
+
+
+def _encase_min_sql(mn: str, mx: str) -> str:
+    """Reference T1 integer encasing (Helpers.scala:151-201) over SQL
+    min/max expressions — shared by the flat numeric profile and the
+    engine-path inference oracles."""
+    return f"""(CASE WHEN {mn} >= 0 AND {mx} <= 32767 THEN 0
+            WHEN {mn} >= -32768 AND {mx} <= 32767 THEN -32768
+            WHEN {mn} >= 0 AND {mx} <= 2147483647 THEN 0
+            WHEN {mn} >= -2147483648 AND {mx} <= 2147483647 THEN -2147483648
+            WHEN {mn} >= 0 THEN 0
+            ELSE -9223372036854775808 END)::BIGINT"""
+
+
+def _encase_max_sql(mn: str, mx: str) -> str:
+    return f"""(CASE WHEN {mn} >= 0 AND {mx} <= 32767 THEN 32767
+            WHEN {mn} >= -32768 AND {mx} <= 32767 THEN 32767
+            WHEN {mn} >= 0 AND {mx} <= 2147483647 THEN 2147483647
+            WHEN {mn} >= -2147483648 AND {mx} <= 2147483647 THEN 2147483647
+            ELSE 9223372036854775807 END)::BIGINT"""
 
 
 def _psi_sql(table: str, col: str, grp: str, b: str, t: str, n_bins: int = 10) -> str:
@@ -755,6 +822,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT raw, lower(regexp_replace(raw, '([^A-Z_])([A-Z])', '\\1_\\2', 'g')) AS snake
             FROM (SELECT DISTINCT c_mktsegment AS raw FROM customer)
             ORDER BY raw
+        """,
+        "infer_top_keys": """
+            WITH ok AS (
+              SELECT props FROM events
+              WHERE json_valid(props)
+                AND json_type(props::JSON) IN ('OBJECT', 'ARRAY')),
+            k AS (
+              SELECT DISTINCT unnest(json_keys(props)) AS key
+              FROM ok WHERE json_type(props::JSON) = 'OBJECT')
+            SELECT (SELECT count(*) FROM ok)::BIGINT AS n_ok,
+                   ((SELECT count(*) FROM events)
+                    - (SELECT count(*) FROM ok))::BIGINT AS n_err,
+                   (SELECT array_to_string(list_sort(list(key)), ',')
+                    FROM k) AS top_keys
+        """,
+        "infer_numeric_bounds": f"""
+            WITH agg AS (
+              SELECT min(json_extract(props, '$.k')::BIGINT) AS mn,
+                     max(json_extract(props, '$.k')::BIGINT) AS mx
+              FROM events WHERE json_valid(props))
+            SELECT 'integer' AS k_type,
+                   {_encase_min_sql("mn", "mx")} AS k_min,
+                   {_encase_max_sql("mn", "mx")} AS k_max
+            FROM agg
+        """,
+        "infer_by_type_keys": f"""
+            WITH ok AS (
+              SELECT event_type, props FROM events
+              WHERE json_valid(props)
+                AND json_type(props::JSON) = 'OBJECT'),
+            ks AS (
+              SELECT event_type,
+                     array_to_string(list_sort(list(DISTINCT k)), ',')
+                       AS top_keys
+              FROM (SELECT event_type, unnest(json_keys(props)) AS k
+                    FROM ok)
+              GROUP BY 1),
+            agg AS (
+              SELECT event_type,
+                     min(json_extract(props, '$.k')::BIGINT) AS mn,
+                     max(json_extract(props, '$.k')::BIGINT) AS mx
+              FROM ok GROUP BY 1)
+            SELECT ks.event_type, ks.top_keys,
+                   {_encase_min_sql("mn", "mx")} AS k_min,
+                   {_encase_max_sql("mn", "mx")} AS k_max
+            FROM ks JOIN agg USING (event_type)
+            ORDER BY event_type
         """,
         "minhash_pairs_docs": f"""
             WITH {_CHAR_JACCARD_PAIRS_CTE}

@@ -76,3 +76,17 @@ def test_rows_only_queries_run(spark):
     for name in set(QUERIES) - set(ORACLES):
         df = QUERIES[name](spark, SF)
         assert df.count() >= 1, name
+
+
+def test_entry_smoke(spark):
+    """The driver smoke-checks entry(): must run and return >= 0 rows
+    with a stable schema."""
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert set(df.columns) == {"schema", "n_ok", "n_err",
+                               "duplicated_keys"}
+    assert rows[0]["n_ok"] > 0 and rows[0]["n_err"] == 0
+    import json as j
+    sch = j.loads(rows[0]["schema"])
+    assert sch.get("type") in ("object", ["object"])
