@@ -229,6 +229,11 @@ def q_wav_decode_features(spark, sf):
     ).orderBy("id")
 
 
+def q_moment_drift_quantity(spark, sf):
+    return C.moment_drift_by_partition(_t(spark, sf, "lineitem"),
+                                       "l_quantity", "l_returnflag")
+
+
 def q_png_decode_features(spark, sf):
     # REAL media decode: rows get actual encoded PNGs of a deterministic
     # test pattern (all 5 predictor filters exercised), the pure-Python
@@ -385,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5_docs": q_fingerprint_md5_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "drift_price_by_returnflag": q_drift_price_by_returnflag,
+        "moment_drift_quantity": q_moment_drift_quantity,
         "png_decode_features": q_png_decode_features,
         "wav_decode_features": q_wav_decode_features,
         "minhash_pairs_docs": q_minhash_pairs_docs,
@@ -466,6 +472,23 @@ def _encase_max_sql(mn: str, mx: str) -> str:
             WHEN {mn} >= 0 AND {mx} <= 2147483647 THEN 2147483647
             WHEN {mn} >= -2147483648 AND {mx} <= 2147483647 THEN 2147483647
             ELSE 9223372036854775807 END)::BIGINT"""
+
+
+def _moments_sql(n: str, s1: str, s2: str, s3: str, s4: str) -> dict:
+    """Standardized moments from exact integer power sums — operation
+    order mirrors constraints.moment_drift_by_partition verbatim so the
+    IEEE doubles reproduce bit-for-bit."""
+    mean = f"(({s1})::DOUBLE / ({n})::DOUBLE)"
+    s2n = f"(({s2})::DOUBLE / ({n})::DOUBLE)"
+    s3n = f"(({s3})::DOUBLE / ({n})::DOUBLE)"
+    s4n = f"(({s4})::DOUBLE / ({n})::DOUBLE)"
+    m2 = f"({s2n} - {mean} * {mean})"
+    m3 = f"(({s3n} - ((3 * {mean}) * {s2n})) + (((2 * {mean}) * {mean}) * {mean}))"
+    m4 = (f"((({s4n} - ((4 * {mean}) * {s3n})) + (((6 * {mean}) * {mean}) * {s2n}))"
+          f" - ((((3 * {mean}) * {mean}) * {mean}) * {mean}))")
+    skew = f"({m3} / sqrt(({m2} * {m2}) * {m2}))"
+    kurt = f"(({m4} / ({m2} * {m2})) - 3)"
+    return {"mean": mean, "m2": m2, "skew": skew, "kurt": kurt}
 
 
 def _psi_sql(table: str, col: str, grp: str, b: str, t: str, n_bins: int = 10) -> str:
@@ -802,6 +825,33 @@ def oracle_sql() -> dict[str, str]:
                    round(avg((7*x + 13*y + 58 + 31*id) % 256), 6) AS mean_b
             FROM px GROUP BY 1, 2, 3 ORDER BY id
         """,
+        "moment_drift_quantity": (lambda pm=_moments_sql("n", "s1", "s2", "s3", "s4"),
+                                  gm=_moments_sql("gn", "gs1", "gs2", "gs3", "gs4"): f"""
+            WITH per AS (
+              SELECT l_returnflag AS p, count(*)::BIGINT AS n,
+                     sum(l_quantity::BIGINT)::BIGINT AS s1,
+                     sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS s2,
+                     sum((l_quantity::BIGINT * l_quantity::BIGINT)
+                         * l_quantity::BIGINT)::BIGINT AS s3,
+                     sum(((l_quantity::BIGINT * l_quantity::BIGINT)
+                          * l_quantity::BIGINT) * l_quantity::BIGINT)::BIGINT AS s4
+              FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+            g AS (SELECT sum(n)::BIGINT AS gn, sum(s1)::BIGINT AS gs1,
+                         sum(s2)::BIGINT AS gs2, sum(s3)::BIGINT AS gs3,
+                         sum(s4)::BIGINT AS gs4 FROM per)
+            SELECT p AS l_returnflag, n,
+                   round({pm['mean']}, 6) AS mean,
+                   round({pm['m2']}, 6) AS variance,
+                   round({pm['skew']}, 6) AS skewness,
+                   round({pm['kurt']}, 6) AS kurtosis_ex,
+                   round(greatest(
+                     abs({pm['mean']} - {gm['mean']}) / sqrt({gm['m2']}),
+                     abs(sqrt({pm['m2']}) - sqrt({gm['m2']})) / sqrt({gm['m2']}),
+                     abs({pm['skew']} - {gm['skew']}),
+                     abs({pm['kurt']} - {gm['kurt']}) / 2.0
+                   ), 6) AS moment_distance
+            FROM per, g ORDER BY l_returnflag
+        """)(),
         "ks_quantity_linestatus": """
             WITH per_value AS (
               SELECT l_quantity AS v,

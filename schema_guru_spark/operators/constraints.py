@@ -310,6 +310,76 @@ def drift_psi_report(df: DataFrame, value_col: str, part_col: str,
     return out
 
 
+def moment_drift_by_partition(df: DataFrame, value_col: str,
+                              part_col: str) -> DataFrame:
+    """Moment-sketch drift screen (cf. "Moment-Based Quantile Sketches",
+    VLDB 2018 — PAPERS.md): per partition accumulate the power sums
+    (n, Σx, Σx², Σx³, Σx⁴) in ONE map-side-combined aggregate, then
+    compare each partition's standardized moments (mean, variance,
+    skewness, excess kurtosis) against the global ones. No histogram,
+    no quantile pass, state is 5 numbers per partition — the cheapest
+    possible mergeable drift statistic at 100 TB.
+
+    Exact-integer fast path: the column is cast to bigint (caller
+    guarantees an integral domain, e.g. counts/quantities), so the
+    power sums are EXACT and identical across engines/partitionings —
+    Σx⁴ of values up to ~10⁴ stays inside int64 up to ~10⁶ rows and is
+    map-side combined as longs; for larger volumes or continuous
+    columns use ``drift_by_partition`` (histogram PSI) or the KS
+    sketch. Moment ratios are evaluated with one fixed operation order
+    so the doubles reproduce bit-for-bit in the DuckDB oracle.
+    """
+    v = F.col(value_col).cast("bigint")
+    sub = df.where(v.isNotNull())
+    per = sub.groupBy(F.col(part_col).alias("p")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    glob = per.agg(F.sum("n").alias("n"), F.sum("s1").alias("s1"),
+                   F.sum("s2").alias("s2"), F.sum("s3").alias("s3"),
+                   F.sum("s4").alias("s4"))
+
+    def moments(prefix_n, prefix_s):
+        # fixed operation order — mirrored verbatim in the oracle SQL
+        n = F.col(prefix_n).cast("double")
+        s1, s2, s3, s4 = [F.col(f"{prefix_s}{i}").cast("double")
+                          for i in (1, 2, 3, 4)]
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+        m4 = (s4 / n - 4 * mean * (s3 / n)
+              + 6 * mean * mean * (s2 / n)
+              - 3 * mean * mean * mean * mean)
+        skew = m3 / F.sqrt(m2 * m2 * m2)
+        kurt = m4 / (m2 * m2) - 3
+        return mean, m2, skew, kurt
+
+    pm, pv, ps, pk = moments("n", "s")
+    gm, gv, gs, gk = moments("gn", "gs")
+    g = glob.select(F.col("n").alias("gn"),
+                    *[F.col(f"s{i}").alias(f"gs{i}") for i in (1, 2, 3, 4)])
+    out = (per.crossJoin(F.broadcast(g))
+           .select(
+               F.col("p").alias(part_col),
+               F.col("n"),
+               F.round(pm, 6).alias("mean"),
+               F.round(pv, 6).alias("variance"),
+               F.round(ps, 6).alias("skewness"),
+               F.round(pk, 6).alias("kurtosis_ex"),
+               F.round(F.greatest(
+                   F.abs(pm - gm) / F.sqrt(gv),
+                   F.abs(F.sqrt(pv) - F.sqrt(gv)) / F.sqrt(gv),
+                   F.abs(ps - gs),
+                   F.abs(pk - gk) / F.lit(2.0),
+               ), 6).alias("moment_distance"),
+           )
+           .orderBy(part_col))
+    return out
+
+
 def ks_two_sample_sketch(df: DataFrame, value_col: str, group_col: str,
                          g1, g2, n_quantiles: int = 200,
                          accuracy: int = 10000) -> float:

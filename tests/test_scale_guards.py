@@ -96,3 +96,31 @@ def test_duplicate_keys_distributed_semantics(spark):
         {"userName", "user_name", "usrname", "username",
          "wholly_different"})
     assert got == expected
+
+
+def test_moment_drift_detects_planted_shift(spark):
+    """The one-aggregate moment screen must flag a mean-shifted
+    partition and stay near zero for identically-distributed ones."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.randint(1, 50), "a") for _ in range(4000)]
+    rows += [(rng.randint(1, 50), "b") for _ in range(4000)]
+    rows += [(rng.randint(20, 70), "c") for _ in range(4000)]  # shifted
+    df = spark.createDataFrame(rows, "v long, p string")
+    out = {r["p"]: r for r in
+           C.moment_drift_by_partition(df, "v", "p").collect()}
+    # drift is vs the GLOBAL moments, which the shifted partition pulls
+    # toward itself — so a/b carry some distance too; c must dominate
+    assert out["c"]["moment_distance"] > 1.5 * out["a"]["moment_distance"]
+    assert out["c"]["moment_distance"] > 1.5 * out["b"]["moment_distance"]
+    assert abs(out["a"]["mean"] - out["b"]["mean"]) < 2.0
+    # without the shifted partition, iid partitions sit near zero
+    iid = {r["p"]: r["moment_distance"] for r in
+           C.moment_drift_by_partition(
+               df.where(F.col("p") != "c"), "v", "p").collect()}
+    assert all(d < 0.1 for d in iid.values()), iid
+    # single aggregate + broadcast: no window, no per-partition jobs
+    plan = C.moment_drift_by_partition(df, "v", "p") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan
