@@ -45,6 +45,20 @@ _OUT_SCHEMA = "kind string, payload string, n_ok bigint, n_err bigint"
 _STATE_KIND, _VIOLATION_KIND = "s", "v"
 
 
+def _require_commutative(ctx: SchemaContext) -> None:
+    """Strict reference-product mode reproduces an ORDER-DEPENDENT merge
+    (ProductSchema.scala:124-159) — correct only for sequential
+    arrival-order folds. The distributed engine merges partial states in
+    partition/tree order, so silently accepting it would make results
+    depend on task scheduling. Fail loudly instead."""
+    if getattr(ctx, "strict_reference_product", False):
+        raise ValueError(
+            "strict_reference_product is a kernel-level parity mode "
+            "(non-commutative merge) and cannot run distributed; use "
+            "core.microschema.merge_all on an ordered document list, or "
+            "the default commutative context for Spark inference")
+
+
 def _derive_partial(ctx: SchemaContext, column: str):
     """Build the mapInPandas function: per-task derive+fold, single pass,
     violations streamed out as rows.
@@ -179,6 +193,7 @@ def infer_json_column(df: DataFrame, column: str, ctx: SchemaContext,
     controls intermediate combine rounds: with P partial states, rounds
     run while P > fanin, each shrinking P by ``fanin``×.
     """
+    _require_commutative(ctx)
     spark = df.sparkSession
     src = _widen_small_scan(df.select(column))
     raw = src.mapInPandas(_derive_partial(ctx, column), _OUT_SCHEMA)
@@ -225,6 +240,7 @@ def infer_json_column_by_key(df: DataFrame, column: str, key_col: str,
     Returns DataFrame(key string, schema string, n_ok long, n_err long)
     where ``schema`` is the rendered JSON Schema (transforms applied).
     """
+    _require_commutative(ctx)
     part_schema = f"{key_col} string, payload string, n_ok bigint, n_err bigint"
 
     def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -98,3 +98,17 @@ def test_strict_merge_all_matches_reference_arrival_order():
     out = merge_all([dict(P_NUM), dict(P_INT)], STRICT)
     assert out["num"] == {"min": 1.5, "max": 2.5, "enum": None}
     assert ZERO == {}
+
+
+def test_strict_mode_rejected_by_distributed_engine(spark):
+    # non-commutative merge must not run under partition/tree order
+    import pytest as _pt
+
+    from schema_guru_spark.operators.infer import (
+        infer_json_column, infer_json_column_by_key)
+
+    df = spark.createDataFrame([('{"a": 1}', "x")], "props string, k string")
+    with _pt.raises(ValueError, match="strict_reference_product"):
+        infer_json_column(df, "props", STRICT)
+    with _pt.raises(ValueError, match="strict_reference_product"):
+        infer_json_column_by_key(df, "props", "k", STRICT)
