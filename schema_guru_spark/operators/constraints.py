@@ -165,13 +165,14 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
     serialized the whole CDF on one task — the classic `WindowExec: No
     Partition Defined` scale bug):
 
-      1. ``repartitionByRange(v)`` — ordered ranges land on ordered
-         partition ids.
-      2. per-partition subtotal of (d1, d2) — tiny (one row per range
-         partition), collected to the driver and turned into exclusive
-         prefix offsets (provably |partitions| rows, never data-scale).
-      3. windows partitioned BY the range id, offset-joined — every
-         partition computes its CDF slice in parallel.
+      1. LOGICAL range buckets: pid = #(quantile boundaries < v), a
+         pure function of the value (no physical partition ids, no
+         dependence on exchange reuse or partitioner sampling).
+      2. per-bucket subtotals of (d1, d2) — bounded by n_range_parts
+         rows — turned into exclusive prefix offsets by a tiny
+         triangular join, all in one DAG.
+      3. windows partitioned BY the bucket id, offset-joined — every
+         bucket computes its CDF slice in parallel.
 
     For continuous data at 100 TB where even |distinct| is unbounded,
     ``ks_two_sample_sketch`` computes the same statistic from mergeable
@@ -185,14 +186,24 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
         F.sum(F.when(F.col("g") == g1, 1).otherwise(0)).alias("d1"),
         F.sum(F.when(F.col("g") == g2, 1).otherwise(0)).alias("d2"),
     )
-    ranged = (per_value.repartitionByRange(n_range_parts, "v")
-              .withColumn("pid", F.spark_partition_id()))
-    # Exclusive prefix offsets per range partition, computed WITHOUT a
+    # LOGICAL range buckets: pid is a pure function of the value (count
+    # of quantile boundaries below it), not a physical partition id — so
+    # correctness never depends on exchange reuse or partitioner seeds.
+    # Boundaries come from one percentile_approx over the (already
+    # reduced) per-value frame; 1-row broadcast.
+    bnd = per_value.agg(F.percentile_approx(
+        "v", [i / n_range_parts for i in range(1, n_range_parts)],
+        10_000).alias("bs"))
+    ranged = (per_value.crossJoin(F.broadcast(bnd))
+              .withColumn("pid",
+                          F.size(F.filter("bs",
+                                          lambda b: b < F.col("v"))))
+              .drop("bs"))
+    # Exclusive prefix offsets per range bucket, computed WITHOUT a
     # global window or a driver collect: the per-pid subtotal frame is
     # bounded by n_range_parts rows, so the triangular (b.pid < a.pid)
     # self-join is a tiny broadcast nested loop and the whole statistic
-    # stays one DAG (the range exchange is planned once and reused by
-    # both branches).
+    # stays one DAG.
     pid_tot = ranged.groupBy("pid").agg(F.sum("d1").alias("s1"),
                                         F.sum("d2").alias("s2"))
     a, b = pid_tot.alias("a"), pid_tot.alias("b")
@@ -200,9 +211,11 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
            .groupBy(F.col("a.pid").alias("pid"))
            .agg(F.coalesce(F.sum("b.s1"), F.lit(0)).alias("off1"),
                 F.coalesce(F.sum("b.s2"), F.lit(0)).alias("off2")))
+    # an absent/empty group must surface as NULL (old behavior), not as
+    # a clamped denominator that fakes ks_stat = 1.0 on a typo'd label
     tot = pid_tot.agg(
-        F.greatest(F.sum("s1"), F.lit(1)).cast("double").alias("n1"),
-        F.greatest(F.sum("s2"), F.lit(1)).cast("double").alias("n2"))
+        F.when(F.sum("s1") > 0, F.sum("s1").cast("double")).alias("n1"),
+        F.when(F.sum("s2") > 0, F.sum("s2").cast("double")).alias("n2"))
     w = (Window.partitionBy("pid").orderBy("v")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cdfs = (

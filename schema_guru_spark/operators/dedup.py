@@ -88,20 +88,26 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         fn, f"id {dict(df.dtypes)[id_col]}, sig array<bigint>")
 
 
+def band_explode(bands: int, r: int, sig_col: str = "sig"):
+    """The canonical banding expression — (band, band_hash) rows from a
+    minhash signature array. THE single definition shared by the batch
+    candidate join and the streaming bucket emitter, so stream-static
+    joins are hash-compatible by construction."""
+    return F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.hash(F.slice(sig_col, i * r + 1, r)),
+        )
+    )
+
+
 def _lsh_candidates(sigs: DataFrame, bands: int, r: int) -> DataFrame:
     """Banded-LSH candidate pairs from a (id, sig) signature frame: a
     pair collides if any band's sub-signature matches exactly. The
     self-join key is (band_idx, band_hash) — cost is Σ|bucket|², never
     |docs|²."""
     banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.hash(F.slice("sig", i * r + 1, r)),
-            )
-        ).alias("band", "band_hash"),
-    )
+        "id", band_explode(bands, r).alias("band", "band_hash"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -168,14 +174,14 @@ def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # threshold the RAW ratio (the oracle does too); round only for
+    # display — filtering on the rounded value would admit pairs up to
+    # 5e-7 below the threshold and break exact parity
+    raw = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     return (
         inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard",
-                    F.round(F.col("common") /
-                            (F.col("sz_a") + F.col("sz_b") - F.col("common")),
-                            6))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .where(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
     )
 
 
@@ -334,16 +340,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    raw = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     return (
         # no broadcast hint: sizes has one row per DOCUMENT — fine to
         # broadcast at test scale, fatal at 10^9 docs. AQE broadcasts it
         # when it is actually small.
+        # threshold on the RAW ratio (matches the oracle); round for display
         inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard",
-                    F.round(F.col("common") /
-                            (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .where(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 
@@ -412,11 +417,11 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(F.col(c), lambda x: x * x),
         F.lit(0.0), lambda acc, x: acc + x))
+    raw = dot / (norm("va") * norm("vb"))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cosine", F.round(dot / (norm("va") * norm("vb")), 6))
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .where(raw >= threshold)   # raw-ratio threshold; round for display
+        .select("id_a", "id_b", F.round(raw, 6).alias("cosine"))
     )
 
 

@@ -71,9 +71,10 @@ def _png_pixels(rid: int, width: int, height: int) -> np.ndarray:
     return ((7 * x + 13 * y + 29 * c + 31 * int(rid)) % 256).astype(np.uint8)
 
 
-def png_dims(rid_col):
-    """Deterministic per-id fixture dimensions (shared with the oracle)."""
-    return (rid_col % 16 + 8, rid_col % 12 + 8)
+def png_dims(rid):
+    """Deterministic per-id fixture dimensions — the single source the
+    encoder uses; the DuckDB oracle mirrors the same formula in SQL."""
+    return (rid % 16 + 8, rid % 12 + 8)
 
 
 def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
@@ -87,7 +88,7 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
             medias = []
             for rid in pdf[id_col]:
                 rid = int(rid)
-                w, h = rid % 16 + 8, rid % 12 + 8
+                w, h = png_dims(rid)
                 arr = _png_pixels(rid, w, h)
                 data = encode_png(arr, [(rid + y) % 5 for y in range(h)])
                 medias.append({"data": data,
@@ -202,8 +203,9 @@ def decode_and_featurize(df: DataFrame, media_col: str = "media",
         data = bytes(data) if data is not None else b""
         if data[:8] == PNG_SIGNATURE:
             img = decode_png(data)
-            if img.shape[2] == 1:      # gray -> RGB for uniform features
-                img = np.repeat(img, 3, axis=2)
+            ch = img.shape[2]
+            if ch <= 2:                 # gray / gray+alpha -> RGB
+                img = np.repeat(img[:, :, :1], 3, axis=2)
             return img[:, :, :3]        # drop alpha if present
         if not fake:
             raise NotImplementedError(

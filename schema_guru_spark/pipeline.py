@@ -251,6 +251,8 @@ def validate_repo_table(
     sinks when enabled, so a resumed run sees prior chunks' results too).
     """
     ctx = ctx or SchemaContext.make(0)
+    from schema_guru_spark.operators.infer import _require_commutative
+    _require_commutative(ctx)  # strict parity mode is order-dependent
     has_sha = "content_sha" in df.columns
 
     ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
@@ -260,9 +262,21 @@ def validate_repo_table(
 
     # a table written by materialize_bucketed already carries bucket as
     # a partition column — reuse it so chunk/resume filters prune at the
-    # directory level instead of re-deriving the hash over a full scan
-    bucketed = df if "bucket" in df.columns else \
-        df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
+    # directory level instead of re-deriving the hash over a full scan.
+    # Guard against a layout/parameter mismatch (or an unrelated column
+    # that happens to be named bucket): every pre-existing bucket id
+    # must fall inside [0, n_buckets) or rows would silently escape the
+    # chunk loop. The min/max agg is answered from parquet footer stats.
+    if "bucket" in df.columns:
+        lo, hi = df.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+        if lo is None or lo < 0 or hi >= n_buckets:
+            raise ValueError(
+                f"existing bucket column spans [{lo}, {hi}] which does "
+                f"not fit n_buckets={n_buckets}; re-materialize the "
+                f"layout with matching parameters or drop the column")
+        bucketed = df
+    else:
+        bucketed = df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
     prepared = (
         bucketed
         .withColumn(

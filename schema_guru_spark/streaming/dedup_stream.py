@@ -50,18 +50,12 @@ def streaming_minhash_buckets(stream: DataFrame, id_col: str,
     """(id, band, band_hash) bucket rows per arriving doc — identical
     hashing to the batch ``minhash_signatures``/banding, so stream
     buckets join against a batch-built index without re-hashing."""
-    from schema_guru_spark.operators.dedup import minhash_signatures
+    from schema_guru_spark.operators.dedup import (
+        band_explode, minhash_signatures)
 
     assert n_hashes % bands == 0
-    r = n_hashes // bands
     sigs = minhash_signatures(stream, id_col, text_col, n_hashes,
                               shingle_k)
     return sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.hash(F.slice("sig", i * r + 1, r)),
-            )
-        ).alias("band", "band_hash"),
-    )
+        "id", band_explode(bands, n_hashes // bands)
+                .alias("band", "band_hash"))

@@ -73,6 +73,8 @@ def run_incremental_inference(stream_df: DataFrame, column: str,
     Returns the StreamingQuery. The cumulative rendered schema is
     re-written to ``state_path`` + '.schema.json' after every batch.
     """
+    from schema_guru_spark.operators.infer import _require_commutative
+    _require_commutative(ctx)
     from schema_guru_spark.operators.infer import infer_json_column
 
     store = IncrementalSchemaState(state_path)
@@ -135,6 +137,8 @@ def keyed_schema_stream(stream_df: DataFrame, column: str, key_col: str,
     serialized micro-schema monoid state — bounded by schema complexity,
     not stream length.
     """
+    from schema_guru_spark.operators.infer import _require_commutative
+    _require_commutative(ctx)
     return (stream_df
             .select(F.col(key_col).alias("key"), F.col(column))
             .groupBy("key")

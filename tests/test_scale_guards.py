@@ -124,3 +124,35 @@ def test_moment_drift_detects_planted_shift(spark):
     plan = C.moment_drift_by_partition(df, "v", "p") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition" not in plan
+
+
+def test_ks_missing_group_yields_null_not_one(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "a")], "v double, g string")
+    row = C.ks_two_sample(df, "v", "g", "a", "NOPE").collect()[0]
+    assert row["ks_stat"] is None  # not a clamped 1.0 drift alarm
+
+
+def test_pipeline_rejects_mismatched_bucket_layout(spark, tmp_path):
+    from schema_guru_spark.pipeline import (
+        materialize_bucketed, validate_repo_table)
+    from schema_guru_spark.sources.repo_table import synthesize_repo_table
+
+    df = synthesize_repo_table(spark, 500)
+    path = str(tmp_path / "layout64")
+    materialize_bucketed(df, path, n_buckets=64, n_salts=8)
+    bucketed = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        validate_repo_table(spark, bucketed, n_buckets=16)
+
+
+def test_pipeline_rejects_strict_ctx(spark):
+    from schema_guru_spark.core.context import SchemaContext
+    from schema_guru_spark.pipeline import validate_repo_table
+
+    df = spark.createDataFrame(
+        [("r", "p", "c", "json", "{}")],
+        "repo string, path string, commit string, lang string, content string")
+    with pytest.raises(ValueError, match="strict_reference_product"):
+        validate_repo_table(
+            spark, df, ctx=SchemaContext.make(0, strict_reference_product=True))

@@ -112,3 +112,17 @@ def test_strict_mode_rejected_by_distributed_engine(spark):
         infer_json_column(df, "props", STRICT)
     with _pt.raises(ValueError, match="strict_reference_product"):
         infer_json_column_by_key(df, "props", "k", STRICT)
+
+
+def test_strict_receiver_with_both_slots_drops_own_int():
+    # a receiver product carrying BOTH int and num (a state strict mode
+    # itself creates) merged with another product: mergeInteger sees
+    # this.numberSchema defined and returns None — the receiver's OWN
+    # integer bounds are dropped too (ProductSchema.scala:146-149); the
+    # num slot keeps only the number-side merge. Pinned so the parity
+    # claim covers the 3-way chain.
+    s = merge(dict(P_INT), dict(P_NUM), STRICT)       # {str, int, num}
+    assert "int" in s and "num" in s
+    out = merge(s, dict(P_INT), STRICT)
+    assert "int" not in out                           # both ints gone
+    assert out["num"] == {"min": 1.5, "max": 2.5, "enum": None}
