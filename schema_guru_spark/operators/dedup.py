@@ -7,15 +7,18 @@ Four families, each with an explicit scale path:
   minhash + LSH  shingle -> minhash signature (Arrow-batched numpy) ->
                  band buckets -> candidate pairs joined WITHIN buckets
                  only (shuffle is on band hashes, never all-pairs)
-  simhash        64-bit weighted token fingerprint; pigeonhole banding
-                 (hamming <= 3 => one of 4 16-bit chunks equal) turns
+  simhash        60-bit weighted token fingerprint (md5-prefix token
+                 hash, pure JVM, SQL-reproducible); pigeonhole banding
+                 (hamming <= k => one of k+1 chunks equal) turns
                  near-dup search into equi-joins + popcount verify
   n-gram Jaccard exact verification path: JVM-native n-gram explode +
                  self-join on shared n-grams (used to verify LSH
                  candidates at small scale / sampled at 100 TB)
 
-Determinism: all hash families are fixed-constant affine transforms over
-crc32 (no RNG), so signatures are stable across runs and engines.
+Determinism: no RNG anywhere — minhash mixes crc32 shingles through a
+fixed splitmix64 family, simhash/winnowing hash through md5 prefixes —
+so every signature is stable across runs, partitionings, and engines
+(the md5-based ones bit-for-bit reproducible in ANSI SQL).
 """
 
 from __future__ import annotations
