@@ -15,6 +15,13 @@ OWNERSHIP CONTRACT: ``acc`` must be task-private and never aliased
 (fresh ``{}`` per partition/bucket). The pure ``merge`` shares subtrees
 between inputs, so never feed a dict into ``accumulate`` that is also
 referenced elsewhere.
+
+SEMANTICS CONTRACT: the accumulate==derive+merge law holds for the
+COMMUTATIVE merge only; ``ctx.strict_reference_product`` (the
+order-dependent reference-parity mode) is deliberately not honored
+here — every distributed entry point rejects strict contexts
+(operators/infer.py::_require_commutative), and sequential strict
+parity goes through ``core.microschema.merge_all`` instead.
 """
 
 from __future__ import annotations
