@@ -234,6 +234,25 @@ def q_moment_drift_quantity(spark, sf):
                                        "l_quantity", "l_returnflag")
 
 
+def q_avi_frame_features(spark, sf):
+    # REAL video decode + frame sampling: rows carry actual uncompressed
+    # 24-bit AVI payloads; every 2nd frame is decoded and featurized,
+    # and the oracle recomputes per-frame channel means analytically —
+    # a hash match proves the RIFF/DIB decode (bottom-up rows, BGR,
+    # stride padding) round-trips the encoder frame-exactly.
+    from schema_guru_spark.operators import multimodal as MM
+    ids = _t(spark, sf, "documents").where(F.col("doc_id") < 40) \
+        .select("doc_id")
+    feats = MM.decode_video_features(MM.attach_avi_media(ids, "doc_id"),
+                                     id_col="doc_id", every_n=2)
+    return feats.select(
+        "id", "frame_idx", "n_frames", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("id", "frame_idx")
+
+
 def q_png_decode_features(spark, sf):
     # REAL media decode: rows get actual encoded PNGs of a deterministic
     # test pattern (all 5 predictor filters exercised), the pure-Python
@@ -393,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moment_drift_quantity": q_moment_drift_quantity,
         "png_decode_features": q_png_decode_features,
         "wav_decode_features": q_wav_decode_features,
+        "avi_frame_features": q_avi_frame_features,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "simhash_fp_docs": q_simhash_fp_docs,
@@ -783,6 +803,36 @@ def oracle_sql() -> dict[str, str]:
               JOIN ptot ON ptot.p = b.p, gtot)
             SELECT p AS l_returnflag, round(sum((pp - pg) * ln(pp / pg)), 6) AS psi
             FROM terms GROUP BY 1 ORDER BY 1
+        """,
+        "avi_frame_features": """
+            -- analytic twin of the AVI test pattern
+            -- px(x,y,c,t) = (7x + 13y + 29c + 17t + 31*id) mod 256
+            WITH ids AS (
+              SELECT doc_id AS id,
+                     (doc_id % 8 + 4)::INT AS width,
+                     (doc_id % 6 + 4)::INT AS height,
+                     (doc_id % 4 + 2)::INT AS n_frames
+              FROM documents WHERE doc_id < 40),
+            sampled AS (
+              SELECT i.*, gt.t AS frame_idx
+              FROM ids i, generate_series(0, 4) gt(t)
+              WHERE gt.t < i.n_frames AND gt.t % 2 = 0),
+            px AS (
+              SELECT s.id, s.frame_idx, s.n_frames, s.width, s.height,
+                     gx.x, gy.y
+              FROM sampled s,
+                   generate_series(0, 11) gx(x),
+                   generate_series(0, 9) gy(y)
+              WHERE gx.x < s.width AND gy.y < s.height)
+            SELECT id, frame_idx::INT AS frame_idx, n_frames, width,
+                   height,
+                   round(avg((7*x + 13*y + 17*frame_idx + 31*id) % 256),
+                         6) AS mean_r,
+                   round(avg((7*x + 13*y + 29 + 17*frame_idx + 31*id)
+                             % 256), 6) AS mean_g,
+                   round(avg((7*x + 13*y + 58 + 17*frame_idx + 31*id)
+                             % 256), 6) AS mean_b
+            FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY id, frame_idx
         """,
         "wav_decode_features": """
             -- analytic twin of the WAV test pattern

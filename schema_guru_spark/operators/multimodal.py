@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from schema_guru_spark.operators.png import (
     PNG_SIGNATURE, decode_png, encode_png,
 )
+from schema_guru_spark.operators.avi import decode_avi_rgb, encode_avi_rgb
 from schema_guru_spark.operators.wav import decode_wav, encode_wav
 
 MEDIA_META = T.StructType([
@@ -170,6 +171,83 @@ def decode_audio_features(df: DataFrame, media_col: str = "media",
             yield pd.DataFrame(rows, columns=[
                 "id", "n_samples", "n_channels", "sample_rate",
                 "duration_ms", "mean_abs", "rms"])
+
+    return df.select(id_col, media_col).mapInPandas(fn, out_schema)
+
+
+def _avi_frames(rid: int) -> np.ndarray:
+    """Deterministic video test pattern for id ``rid``:
+        px(x, y, c, t) = (7x + 13y + 29c + 17t + 31*rid) mod 256,
+        w = rid%8+4, h = rid%6+4, n_frames = rid%4+2, 10 fps.
+    Same analytic-oracle trick as ``_png_pixels``/``_wav_samples``."""
+    rid = int(rid)
+    w, h, n = rid % 8 + 4, rid % 6 + 4, rid % 4 + 2
+    x = np.arange(w)[None, None, :, None]
+    y = np.arange(h)[None, :, None, None]
+    c = np.arange(3)[None, None, None, :]
+    t = np.arange(n)[:, None, None, None]
+    return ((7 * x + 13 * y + 29 * c + 17 * t + 31 * rid) % 256) \
+        .astype(np.uint8)
+
+
+def attach_avi_media(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL video media column: each row carries an actual uncompressed
+    24-bit RGB AVI of the deterministic test pattern. Arrow-batched."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = []
+            for rid in pdf[id_col]:
+                fr = _avi_frames(rid)
+                medias.append({
+                    "data": encode_avi_rgb(fr, fps=10),
+                    "meta": {"kind": "video", "format": "avi",
+                             "width": fr.shape[2], "height": fr.shape[1],
+                             "duration_ms": fr.shape[0] * 100}})
+            yield pd.DataFrame({id_col: pdf[id_col], "media": medias})
+
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("media", MEDIA_SCHEMA),
+    ])
+    return df.select(id_col).mapInPandas(fn, out_schema)
+
+
+def decode_video_features(df: DataFrame, media_col: str = "media",
+                          id_col: str = "id",
+                          every_n: int = 2) -> DataFrame:
+    """REAL frame sampling + decode: every ``every_n``-th frame of each
+    AVI payload is decoded and featurized — one output row per sampled
+    frame (id, frame_idx, n_frames, width, height, mean_r/g/b). This is
+    ``frame_sample_plan`` made physical: the plan enumerates timestamps,
+    this decodes the frames those timestamps select. Non-AVI payloads
+    raise NotImplementedError (compressed codecs are out of container
+    scope — declared, not faked)."""
+
+    out_schema = ("id bigint, frame_idx int, n_frames int, width int, "
+                  "height int, mean_r double, mean_g double, "
+                  "mean_b double")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, media in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(media["data"])
+                if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+                    raise NotImplementedError(
+                        "only uncompressed AVI decode is available in "
+                        "this container")
+                frames, _fps = decode_avi_rgb(data)
+                n, h, w, _ = frames.shape
+                for t in range(0, n, every_n):
+                    f = frames[t].astype(np.float64)
+                    rows.append((int(rid), t, n, w, h,
+                                 float(f[:, :, 0].mean()),
+                                 float(f[:, :, 1].mean()),
+                                 float(f[:, :, 2].mean())))
+            yield pd.DataFrame(rows, columns=[
+                "id", "frame_idx", "n_frames", "width", "height",
+                "mean_r", "mean_g", "mean_b"])
 
     return df.select(id_col, media_col).mapInPandas(fn, out_schema)
 

@@ -185,3 +185,55 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     back, got_rate = decode_wav(encode_wav(a, rate))
     assert got_rate == rate
     assert np.array_equal(back, a)
+
+
+def test_avi_codec_roundtrip_pure():
+    import numpy as np
+    from schema_guru_spark.operators.avi import (
+        decode_avi_rgb, encode_avi_rgb)
+
+    rng = np.random.RandomState(9)
+    # odd widths exercise the 4-byte row-stride padding
+    for (n, h, w) in [(1, 4, 4), (3, 5, 7), (2, 9, 11)]:
+        fr = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+        back, fps = decode_avi_rgb(encode_avi_rgb(fr, fps=12))
+        assert fps == 12 and np.array_equal(back, fr)
+    with pytest.raises(ValueError):
+        decode_avi_rgb(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_avi_rgb(encode_avi_rgb(
+            np.zeros((1, 2, 2, 3), np.uint8))[:30])   # truncated
+
+
+@settings(max_examples=25, deadline=None)
+@given(n=st.integers(1, 4), h=st.integers(1, 10), w=st.integers(1, 10),
+       seed=st.integers(0, 2**31 - 1))
+def test_avi_roundtrip_property(n, h, w, seed):
+    import numpy as np
+    from schema_guru_spark.operators.avi import (
+        decode_avi_rgb, encode_avi_rgb)
+
+    rng = np.random.RandomState(seed)
+    fr = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+    back, _ = decode_avi_rgb(encode_avi_rgb(fr))
+    assert np.array_equal(back, fr)
+
+
+def test_real_avi_decode_frame_features(spark):
+    import numpy as np
+
+    ids = spark.range(8).select(F.col("id").alias("doc_id"))
+    feats = MM.decode_video_features(MM.attach_avi_media(ids, "doc_id"),
+                                     id_col="doc_id", every_n=2)
+    rows = feats.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    for rid in range(8):
+        fr = MM._avi_frames(rid)
+        n = fr.shape[0]
+        sampled = sorted(by_id[rid], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in sampled] == list(range(0, n, 2))
+        for r in sampled:
+            f = fr[r["frame_idx"]].astype(np.float64)
+            assert r["mean_g"] == pytest.approx(f[:, :, 1].mean())
