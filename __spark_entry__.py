@@ -229,6 +229,20 @@ def q_wav_decode_features(spark, sf):
     ).orderBy("id")
 
 
+def q_completeness_orders(spark, sf):
+    return C.completeness(_t(spark, sf, "orders"),
+                          ["o_orderkey", "o_custkey", "o_orderpriority",
+                           "o_totalprice"])
+
+
+def q_fd_lineitem_order_returnflag(spark, sf):
+    # l_orderkey -> l_returnflag does NOT hold (12k of 14.7k orders mix
+    # flags at sf0.01) — checks the violating-group accounting, not
+    # just a trivial pass
+    return C.functional_dependency(_t(spark, sf, "lineitem"),
+                                   ["l_orderkey"], ["l_returnflag"])
+
+
 def q_moment_drift_quantity(spark, sf):
     return C.moment_drift_by_partition(_t(spark, sf, "lineitem"),
                                        "l_quantity", "l_returnflag")
@@ -410,6 +424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "drift_price_by_returnflag": q_drift_price_by_returnflag,
         "moment_drift_quantity": q_moment_drift_quantity,
+        "completeness_orders": q_completeness_orders,
+        "fd_lineitem_order_returnflag": q_fd_lineitem_order_returnflag,
         "png_decode_features": q_png_decode_features,
         "wav_decode_features": q_wav_decode_features,
         "avi_frame_features": q_avi_frame_features,
@@ -874,6 +890,39 @@ def oracle_sql() -> dict[str, str]:
                    round(avg((7*x + 13*y + 29 + 31*id) % 256), 6) AS mean_g,
                    round(avg((7*x + 13*y + 58 + 31*id) % 256), 6) AS mean_b
             FROM px GROUP BY 1, 2, 3 ORDER BY id
+        """,
+        "completeness_orders": """
+            WITH base AS (
+              SELECT count(*)::BIGINT AS n_rows,
+                     count(o_orderkey)::BIGINT AS c1,
+                     count(o_custkey)::BIGINT AS c2,
+                     count(o_orderpriority)::BIGINT AS c3,
+                     count(o_totalprice)::BIGINT AS c4
+              FROM orders)
+            SELECT "column", n_rows, n_present,
+                   round(n_present / greatest(n_rows, 1), 6)
+                     AS completeness
+            FROM (
+              SELECT 'o_orderkey' AS "column", n_rows, c1 AS n_present
+              FROM base
+              UNION ALL SELECT 'o_custkey', n_rows, c2 FROM base
+              UNION ALL SELECT 'o_orderpriority', n_rows, c3 FROM base
+              UNION ALL SELECT 'o_totalprice', n_rows, c4 FROM base)
+            ORDER BY "column"
+        """,
+        "fd_lineitem_order_returnflag": """
+            WITH per AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_returnflag)::BIGINT AS nd,
+                     count(*)::BIGINT AS n
+              FROM lineitem GROUP BY 1)
+            SELECT count(*)::BIGINT AS n_groups,
+                   sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_violating_groups,
+                   sum(CASE WHEN nd > 1 THEN n ELSE 0 END)::BIGINT
+                     AS n_violating_rows,
+                   sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+            FROM per
         """,
         "moment_drift_quantity": (lambda pm=_moments_sql("n", "s1", "s2", "s3", "s4"),
                                   gm=_moments_sql("gn", "gs1", "gs2", "gs3", "gs4"): f"""

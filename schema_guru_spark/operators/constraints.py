@@ -323,6 +323,55 @@ def drift_psi_report(df: DataFrame, value_col: str, part_col: str,
     return out
 
 
+def completeness(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column completeness (non-null fraction) — the standard data
+    quality screen, one hash aggregate for ALL columns (no per-column
+    jobs). Output: one row per column (column, n_rows, n_present,
+    completeness 6dp), ordered by column name."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__p_{c}"))
+    row = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"__p_{c}").alias("n_present"))
+        for c in cols
+    ])
+    return (row.select("n_rows", F.explode(pairs).alias("e"))
+            .select(F.col("e.column").alias("column"),
+                    "n_rows",
+                    F.col("e.n_present").alias("n_present"),
+                    F.round(F.col("e.n_present") /
+                            F.greatest(F.col("n_rows"), F.lit(1)), 6)
+                    .alias("completeness"))
+            .orderBy("column"))
+
+
+def functional_dependency(df: DataFrame, lhs: Sequence[str],
+                          rhs: Sequence[str]) -> DataFrame:
+    """Does the functional dependency lhs -> rhs hold? One aggregate:
+    group by the determinant tuple, count groups where the dependent
+    tuple is not unique. Output: (n_groups, n_violating_groups,
+    n_violating_rows, holds). The per-group state is two counters —
+    map-side combined, skew-safe (a hot determinant costs one group).
+    """
+    lt = F.struct(*[F.col(c) for c in lhs])
+    rt = F.struct(*[F.col(c) for c in rhs])
+    per = (df.groupBy(lt.alias("_l"))
+           .agg(F.count_distinct(rt).alias("nd"),
+                F.count(F.lit(1)).alias("n")))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+         .alias("n_violating_groups"),
+        F.sum(F.when(F.col("nd") > 1, F.col("n")).otherwise(0))
+         .alias("n_violating_rows"),
+    ).select(
+        "n_groups", "n_violating_groups", "n_violating_rows",
+        (F.col("n_violating_groups") == 0).alias("holds"),
+    )
+
+
 def moment_drift_by_partition(df: DataFrame, value_col: str,
                               part_col: str) -> DataFrame:
     """Moment-sketch drift screen (cf. "Moment-Based Quantile Sketches",

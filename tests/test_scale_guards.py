@@ -156,3 +156,20 @@ def test_pipeline_rejects_strict_ctx(spark):
     with pytest.raises(ValueError, match="strict_reference_product"):
         validate_repo_table(
             spark, df, ctx=SchemaContext.make(0, strict_reference_product=True))
+
+
+def test_completeness_and_fd(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", "x"), (2, "b", "y"), (3, None, "z")],
+        "k long, g string, v string")
+    comp = {r["column"]: r for r in
+            C.completeness(df, ["k", "g", "v"]).collect()}
+    assert comp["k"]["completeness"] == 1.0
+    assert comp["g"]["n_present"] == 3 and comp["g"]["completeness"] == 0.75
+    assert comp["v"]["completeness"] == 0.75
+    # k -> g violated only by k=2 (two g values across its 2 rows)
+    fd = C.functional_dependency(df, ["k"], ["g"]).collect()[0]
+    assert (fd["n_groups"], fd["n_violating_groups"],
+            fd["n_violating_rows"], fd["holds"]) == (3, 1, 2, False)
+    assert C.functional_dependency(df, ["k", "g"], ["k"]) \
+        .collect()[0]["holds"] is True
