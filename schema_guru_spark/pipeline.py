@@ -381,14 +381,19 @@ def constraint_report(spark: SparkSession, df: DataFrame,
         one-column (repo) DataFrame — the lakehouse catalog dim in
         production; defaults to the table's own distinct repos (orphans
         = 0 by construction, the join plumbing still runs);
-      drift: per-bucket PSI of content length vs global.
+      drift: per-bucket PSI of content length vs global;
+      completeness: per-key-column non-null fractions (piggybacks on
+        the same cached projection — null flags are 1 byte each).
     """
     # ONE pass over the table projects everything the checks need
     # (~30 bytes/row), cached; content is read exactly once here
+    key_cols = ("repo", "path", "commit", "lang")
     slim = (df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
               .select("bucket", "repo",
                       F.length("content").alias("clen"),
-                      F.xxhash64("repo", "path", "commit").alias("kh"))
+                      F.xxhash64("repo", "path", "commit").alias("kh"),
+                      *[F.col(c).isNull().cast("int").alias(f"_n_{c}")
+                        for c in key_cols])
               .persist())
     try:
         slim.count()  # materialize the cache once, then fan out
@@ -399,7 +404,7 @@ def constraint_report(spark: SparkSession, df: DataFrame,
         # latencies overlap instead of adding up (Spark's scheduler
         # handles concurrent jobs from one session natively)
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        with ThreadPoolExecutor(max_workers=4) as ex:
             # hashed screen: 8-byte shuffle rows, not raw key strings
             f_uniq = ex.submit(
                 lambda: C.uniqueness_hashed(slim, ["kh"]).collect()[0])
@@ -412,9 +417,22 @@ def constraint_report(spark: SparkSession, df: DataFrame,
             # rows), PSI math on the driver — see drift_psi_report
             f_psi = ex.submit(
                 lambda: C.drift_psi_report(slim, "clen", "bucket"))
+            # completeness over the SAME cached projection: one tiny agg
+            f_comp = ex.submit(
+                lambda: slim.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(f"_n_{c}").alias(c) for c in key_cols],
+                    F.sum(F.col("clen").isNull().cast("int"))
+                     .alias("content")).collect()[0])
             uniq = f_uniq.result()
             n_orphans = f_ri.result()
             psi_by_bucket = f_psi.result()
+            comp_row = f_comp.result()
+        n_total = max(comp_row["n"], 1)
+        completeness = {
+            c: round(1.0 - comp_row[c] / n_total, 6)
+            for c in (*key_cols, "content")
+        }
         worst_psi = max(psi_by_bucket.values(), default=0.0)
     finally:
         slim.unpersist()
@@ -428,6 +446,9 @@ def constraint_report(spark: SparkSession, df: DataFrame,
         "keys_unique": uniq["n_rows"] == uniq["n_exact"],
         "n_ri_orphans": n_orphans,
         "worst_bucket_psi": float(worst_psi),
+        "completeness": completeness,
+        "keys_complete": all(
+            completeness[c] == 1.0 for c in ("repo", "path", "commit")),
     }
 
 

@@ -316,3 +316,18 @@ def test_bucketed_layout_prunes(spark, tmp_path):
                .select("bucket", "n_rows", "n_json_ok", "n_json_err",
                        "passed").collect())
     assert a == b
+
+
+def test_constraint_report_completeness(spark, repo_df):
+    rep = constraint_report(spark, repo_df, n_buckets=N_BUCKETS)
+    # synthesized table has fully-populated key columns
+    assert rep["keys_complete"] is True
+    assert rep["completeness"]["repo"] == 1.0
+    assert 0.0 <= rep["completeness"]["content"] <= 1.0
+    # planted null keys must show up
+    from pyspark.sql import functions as F
+    holed = repo_df.withColumn(
+        "path", F.when(F.rand(seed=1) < 0.5, F.col("path")))
+    rep2 = constraint_report(spark, holed, n_buckets=N_BUCKETS)
+    assert rep2["keys_complete"] is False
+    assert 0.3 < rep2["completeness"]["path"] < 0.7
