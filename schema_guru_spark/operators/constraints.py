@@ -354,6 +354,13 @@ def functional_dependency(df: DataFrame, lhs: Sequence[str],
     tuple is not unique. Output: (n_groups, n_violating_groups,
     n_violating_rows, holds). The per-group state is two counters —
     map-side combined, skew-safe (a hot determinant costs one group).
+
+    Null semantics: the dependent tuple is wrapped in a struct, so a
+    NULL dependent counts as a distinct VALUE — a group containing
+    {x, NULL} violates the dependency (strict FD semantics). Plain SQL
+    ``count(DISTINCT col)`` skips NULLs and would let that group pass;
+    mirror with ``count(DISTINCT ROW(col))``-style structs or filter
+    nulls first when comparing engines on nullable dependents.
     """
     lt = F.struct(*[F.col(c) for c in lhs])
     rt = F.struct(*[F.col(c) for c in rhs])
