@@ -379,6 +379,38 @@ def functional_dependency(df: DataFrame, lhs: Sequence[str],
     )
 
 
+def moment_columns(n, s1, s2, s3, s4):
+    """Standardized moments (mean, variance, skew, excess kurtosis) from
+    power-sum Columns — ONE fixed operation order, mirrored verbatim in
+    the DuckDB oracle SQL (`__spark_entry__._moments_sql`) so the IEEE
+    doubles reproduce bit-for-bit. Shared by the batch per-partition
+    screen and the streaming windowed monitor."""
+    n = n.cast("double")
+    s1, s2, s3, s4 = [s.cast("double") for s in (s1, s2, s3, s4)]
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+    m4 = (s4 / n - 4 * mean * (s3 / n)
+          + 6 * mean * mean * (s2 / n)
+          - 3 * mean * mean * mean * mean)
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2) - 3
+    return mean, m2, skew, kurt
+
+
+def power_sum_aggs(value_col: str):
+    """The five power-sum aggregate expressions (n, s1..s4) over an
+    integral column — exact bigint sums, mergeable by construction."""
+    v = F.col(value_col).cast("bigint")
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    ]
+
+
 def moment_drift_by_partition(df: DataFrame, value_col: str,
                               part_col: str) -> DataFrame:
     """Moment-sketch drift screen (cf. "Moment-Based Quantile Sketches",
@@ -401,30 +433,14 @@ def moment_drift_by_partition(df: DataFrame, value_col: str,
     v = F.col(value_col).cast("bigint")
     sub = df.where(v.isNotNull())
     per = sub.groupBy(F.col(part_col).alias("p")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(v).alias("s1"),
-        F.sum(v * v).alias("s2"),
-        F.sum(v * v * v).alias("s3"),
-        F.sum(v * v * v * v).alias("s4"),
-    )
+        *power_sum_aggs(value_col))
     glob = per.agg(F.sum("n").alias("n"), F.sum("s1").alias("s1"),
                    F.sum("s2").alias("s2"), F.sum("s3").alias("s3"),
                    F.sum("s4").alias("s4"))
 
     def moments(prefix_n, prefix_s):
-        # fixed operation order — mirrored verbatim in the oracle SQL
-        n = F.col(prefix_n).cast("double")
-        s1, s2, s3, s4 = [F.col(f"{prefix_s}{i}").cast("double")
-                          for i in (1, 2, 3, 4)]
-        mean = s1 / n
-        m2 = s2 / n - mean * mean
-        m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
-        m4 = (s4 / n - 4 * mean * (s3 / n)
-              + 6 * mean * mean * (s2 / n)
-              - 3 * mean * mean * mean * mean)
-        skew = m3 / F.sqrt(m2 * m2 * m2)
-        kurt = m4 / (m2 * m2) - 3
-        return mean, m2, skew, kurt
+        return moment_columns(
+            F.col(prefix_n), *[F.col(f"{prefix_s}{i}") for i in (1, 2, 3, 4)])
 
     pm, pv, ps, pk = moments("n", "s")
     gm, gv, gs, gk = moments("gn", "gs")

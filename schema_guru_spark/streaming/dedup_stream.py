@@ -59,3 +59,34 @@ def streaming_minhash_buckets(stream: DataFrame, id_col: str,
     return sigs.select(
         "id", band_explode(bands, n_hashes // bands)
                 .alias("band", "band_hash"))
+
+
+def streaming_window_moments(stream: DataFrame, value_col: str,
+                             ts_col: str, window: str = "1 minute",
+                             watermark: str = "2 minutes") -> DataFrame:
+    """Streaming drift monitor from the moment sketch: per event-time
+    window accumulate the exact integer power sums (n, S1..S4) — the
+    state per window is FIVE numbers, mergeable across micro-batches by
+    construction, evicted by the watermark — and emit the standardized
+    moments. Downstream alerting compares consecutive windows' moments
+    (the batch twin `moment_drift_by_partition` does the same against a
+    global reference). Output per window: (win_start, win_end, n, mean,
+    variance, skewness, kurtosis_ex)."""
+    from schema_guru_spark.operators.constraints import (
+        moment_columns, power_sum_aggs)
+
+    agg = (stream
+           .withWatermark(ts_col, watermark)
+           .groupBy(F.window(ts_col, window).alias("w"))
+           .agg(*power_sum_aggs(value_col)))
+    mean, var, skew, kurt = moment_columns(
+        F.col("n"), F.col("s1"), F.col("s2"), F.col("s3"), F.col("s4"))
+    return agg.select(
+        F.col("w.start").alias("win_start"),
+        F.col("w.end").alias("win_end"),
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis_ex"),
+    )

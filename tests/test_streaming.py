@@ -198,3 +198,47 @@ def test_streaming_minhash_buckets_match_batch(spark, tmp_path):
     # identical docs share every bucket -> they are LSH candidates
     assert len({b for (i, b, h) in got if i == 1}
                & {b for (i, b, h) in got if i == 2}) == 16
+
+
+def test_streaming_window_moments(spark, tmp_path):
+    """Windowed power-sum moments: two event-time windows, the second
+    mean-shifted — per-window moments must match the batch formula on
+    the same slices."""
+    import datetime as dt
+
+    from schema_guru_spark.operators.constraints import (
+        moment_drift_by_partition)
+    from schema_guru_spark.streaming.dedup_stream import (
+        streaming_window_moments)
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append((i % 50 + 1, base + dt.timedelta(seconds=i % 50)))
+    for i in range(200):
+        rows.append((i % 50 + 30,
+                     base + dt.timedelta(minutes=1, seconds=i % 50)))
+    df = spark.createDataFrame(rows, "v long, ts timestamp")
+    src = str(tmp_path / "src")
+    df.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema("v long, ts timestamp").parquet(src)
+    out = streaming_window_moments(stream, "v", "ts", window="1 minute")
+    # complete mode: append would only emit windows already closed by
+    # the watermark, and availableNow ends before that happens
+    q = (out.writeStream.format("memory").queryName("win_moments")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["win_start"].minute: r
+           for r in spark.sql("SELECT * FROM win_moments").collect()}
+    assert set(got) == {0, 1}
+    assert got[1]["mean"] - got[0]["mean"] == 29.0  # planted shift
+    # batch twin on the same slices agrees exactly
+    batch = {r["m"]: r for r in moment_drift_by_partition(
+        df.withColumn("m", F.minute("ts")), "v", "m").collect()}
+    for m in (0, 1):
+        assert got[m]["mean"] == batch[m]["mean"]
+        assert got[m]["variance"] == batch[m]["variance"]
+        assert got[m]["skewness"] == batch[m]["skewness"]
