@@ -34,6 +34,8 @@ def encode_avi_rgb(frames: np.ndarray, fps: int = 10) -> bytes:
     a = np.asarray(frames, dtype=np.uint8)
     if a.ndim != 4 or a.shape[3] != 3:
         raise ValueError("frames must be (n, h, w, 3) uint8")
+    if fps <= 0:
+        raise ValueError(f"fps must be positive, got {fps}")
     n, h, w, _ = a.shape
     stride = (w * 3 + 3) & ~3
     us_per_frame = 1_000_000 // fps
@@ -88,10 +90,14 @@ def decode_avi_rgb(data: bytes):
             if cid == b"LIST":
                 walk(body_start + 4, body_start + size)
             elif cid == b"avih":
+                if size < 56:
+                    raise ValueError(f"avih chunk too short ({size} bytes)")
                 vals = struct.unpack("<14I", data[body_start:body_start + 56])
                 us_per_frame = vals[0]
                 width, height = vals[8], vals[9]
             elif cid == b"strf":
+                if size < 20:
+                    raise ValueError(f"strf chunk too short ({size} bytes)")
                 (_sz, _w, _h, _planes, bpp, comp) = struct.unpack(
                     "<IiiHHI", data[body_start:body_start + 20])
                 if comp != 0:

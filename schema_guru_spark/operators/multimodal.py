@@ -223,6 +223,8 @@ def decode_video_features(df: DataFrame, media_col: str = "media",
     this decodes the frames those timestamps select. Non-AVI payloads
     raise NotImplementedError (compressed codecs are out of container
     scope — declared, not faked)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     out_schema = ("id bigint, frame_idx int, n_frames int, width int, "
                   "height int, mean_r double, mean_g double, "

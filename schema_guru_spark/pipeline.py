@@ -428,9 +428,14 @@ def constraint_report(spark: SparkSession, df: DataFrame,
             n_orphans = f_ri.result()
             psi_by_bucket = f_psi.result()
             comp_row = f_comp.result()
+        # sums over zero rows are NULL -> coalesce; keep the RAW null
+        # counts for the verdict (a rounded fraction of 1.0 would hide
+        # one null key in 10M rows — exactly what the check must catch)
+        null_counts = {c: int(comp_row[c] or 0)
+                       for c in (*key_cols, "content")}
         n_total = max(comp_row["n"], 1)
         completeness = {
-            c: round(1.0 - comp_row[c] / n_total, 6)
+            c: round(1.0 - null_counts[c] / n_total, 6)
             for c in (*key_cols, "content")
         }
         worst_psi = max(psi_by_bucket.values(), default=0.0)
@@ -447,8 +452,10 @@ def constraint_report(spark: SparkSession, df: DataFrame,
         "n_ri_orphans": n_orphans,
         "worst_bucket_psi": float(worst_psi),
         "completeness": completeness,
+        "key_null_counts": {c: null_counts[c]
+                            for c in ("repo", "path", "commit")},
         "keys_complete": all(
-            completeness[c] == 1.0 for c in ("repo", "path", "commit")),
+            null_counts[c] == 0 for c in ("repo", "path", "commit")),
     }
 
 

@@ -76,6 +76,10 @@ def streaming_window_moments(stream: DataFrame, value_col: str,
         moment_columns, power_sum_aggs)
 
     agg = (stream
+           # null filter BEFORE the aggregate — identical to the batch
+           # twin; without it n counts rows the sums skip and every
+           # moment is corrupted
+           .where(F.col(value_col).isNotNull())
            .withWatermark(ts_col, watermark)
            .groupBy(F.window(ts_col, window).alias("w"))
            .agg(*power_sum_aggs(value_col)))

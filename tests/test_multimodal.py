@@ -237,3 +237,27 @@ def test_real_avi_decode_frame_features(spark):
         for r in sampled:
             f = fr[r["frame_idx"]].astype(np.float64)
             assert r["mean_g"] == pytest.approx(f[:, :, 1].mean())
+
+
+def test_avi_and_video_guards(spark):
+    import struct
+    import numpy as np
+    from schema_guru_spark.operators.avi import (
+        decode_avi_rgb, encode_avi_rgb)
+
+    fr = np.zeros((1, 2, 2, 3), np.uint8)
+    with pytest.raises(ValueError, match="fps"):
+        encode_avi_rgb(fr, fps=0)
+    # undersized avih header chunk must be a ValueError, not garbage
+    good = encode_avi_rgb(fr)
+    i = good.index(b"avih")
+    bad = bytearray(good)
+    bad[i + 4:i + 8] = struct.pack("<I", 16)
+    with pytest.raises(ValueError):
+        decode_avi_rgb(bytes(bad))
+    with pytest.raises(ValueError, match="every_n"):
+        MM.decode_video_features(
+            MM.attach_avi_media(
+                spark.range(1).select(F.col("id").alias("doc_id")),
+                "doc_id"),
+            id_col="doc_id", every_n=0)

@@ -331,3 +331,21 @@ def test_constraint_report_completeness(spark, repo_df):
     rep2 = constraint_report(spark, holed, n_buckets=N_BUCKETS)
     assert rep2["keys_complete"] is False
     assert 0.3 < rep2["completeness"]["path"] < 0.7
+
+
+def test_constraint_report_empty_table_and_tiny_null(spark):
+    from pyspark.sql import functions as F
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, "
+            "content string")
+    rep = constraint_report(spark, empty, n_buckets=N_BUCKETS)
+    assert rep["n_rows"] == 0 and rep["keys_complete"] is True
+    # ONE null key among many rows must still flip the verdict even
+    # though the rounded fraction is 1.0
+    df = synthesize_repo_table(spark, 2000)
+    holed = df.withColumn(
+        "commit", F.when(F.col("path") != df.first()["path"],
+                         F.col("commit")))
+    rep2 = constraint_report(spark, holed, n_buckets=N_BUCKETS)
+    assert rep2["keys_complete"] is False
+    assert rep2["key_null_counts"]["commit"] >= 1

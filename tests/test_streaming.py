@@ -242,3 +242,26 @@ def test_streaming_window_moments(spark, tmp_path):
         assert got[m]["mean"] == batch[m]["mean"]
         assert got[m]["variance"] == batch[m]["variance"]
         assert got[m]["skewness"] == batch[m]["skewness"]
+
+
+def test_streaming_window_moments_skips_nulls(spark, tmp_path):
+    import datetime as dt
+
+    from schema_guru_spark.streaming.dedup_stream import (
+        streaming_window_moments)
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(10, base), (20, base + dt.timedelta(seconds=1)),
+            (None, base + dt.timedelta(seconds=2))]
+    df = spark.createDataFrame(rows, "v long, ts timestamp")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema("v long, ts timestamp").parquet(src)
+    out = streaming_window_moments(stream, "v", "ts", window="1 minute")
+    q = (out.writeStream.format("memory").queryName("null_moments")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    r = spark.sql("SELECT * FROM null_moments").collect()[0]
+    assert r["n"] == 2 and r["mean"] == 15.0   # null row excluded
