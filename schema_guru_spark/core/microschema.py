@@ -270,15 +270,33 @@ def _merge_strict(a: dict, b: dict, ctx: SchemaContext) -> dict:
     Consequently int and num CAN coexist in a strict-mode product
     (receiver without num merged with argument carrying num), and the
     operation is NOT commutative — pinned by tests/test_strict_product.py.
+
+    Sub-merge receiver order (matters because nested products make the
+    sub-merges themselves order-dependent):
+
+      * product ⊕ product (mergeSameType): ``mergeWithOption(other.slot,
+        this.slot)`` calls ``this.slot.mergeSameType(other.slot)`` — the
+        RECEIVER's slot is the sub-receiver (ProductSchema.scala:68-77,
+        124-129).
+      * product ⊕ pure (ProductSchema.merge's case obj/arr/str):
+        ``obj.merge(this.objectSchema)`` — the PURE ARGUMENT is the
+        sub-receiver (ProductSchema.scala:83-88). The same holds after
+        the mergeToProduct delegation (pure ⊕ product), since both
+        routes land in ProductSchema.merge with the pure side as
+        argument.
     """
     a_prod, b_prod = len(a) > 1, len(b) > 1
     if b_prod and not a_prod:
         return _merge_strict(b, a, ctx)
+    # product ⊕ pure: the pure side (b) is the receiver of every slot
+    # sub-merge; all other cases keep the outer receiver's slot first
+    pure_arg = a_prod and not b_prod
     out: dict = {}
     for kind in ("obj", "arr", "str", "bool", "null"):
         ina, inb = kind in a, kind in b
         if ina and inb:
-            out[kind] = _MERGERS[kind](a[kind], b[kind], ctx)
+            out[kind] = (_MERGERS[kind](b[kind], a[kind], ctx) if pure_arg
+                         else _MERGERS[kind](a[kind], b[kind], ctx))
         elif ina:
             out[kind] = a[kind]
         elif inb:

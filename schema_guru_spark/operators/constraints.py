@@ -59,12 +59,25 @@ def uniqueness_hll(df: DataFrame, keys: Sequence[str], rsd: float = 0.02,
 def uniqueness_hashed(df: DataFrame, keys: Sequence[str], rsd: float = 0.02,
                       tolerance: float = 0.05) -> DataFrame:
     """Scale path for the uniqueness screen: pre-hash the key tuple to a
-    64-bit xxhash so the distinct aggregate shuffles 8 bytes/row instead
-    of the raw key strings (~20x less exchange volume on path-like
-    keys). Collision probability for n keys is ~n²/2⁶⁵ (≈2e-6 at 8M,
-    ≈0.03 at 1B) — a screen, confirmed by ``uniqueness_exact`` /
-    ``duplicate_key_rows`` only when it fails."""
-    h = F.xxhash64(*[F.col(k) for k in keys])
+    128-bit pair of independently-seeded xxhash64 columns so the
+    distinct aggregate shuffles 16 bytes/row instead of the raw key
+    strings (~10x less exchange volume on path-like keys).
+
+    Width matters at the north-rule's 10¹²-row target: a single 64-bit
+    hash has birthday expectation ~n²/2⁶⁵ ≈ 27 phantom collisions at
+    10¹² keys — the screen would cry wolf on every run and force the
+    expensive exact confirmation it exists to avoid. Two independent
+    64-bit halves put the expectation at ~n²/2¹²⁹ ≈ 1.5e-15 at 10¹²:
+    two distinct keys must collide on BOTH halves to alias. Still a
+    screen — confirmed by ``uniqueness_exact`` / ``duplicate_key_rows``
+    when it fails — but one that stays quiet at full scale.
+    """
+    cols = [F.col(k) for k in keys]
+    # seed independence: xxhash64's seed feeds the initial accumulator,
+    # so distinct literal seeds give (empirically) independent 64-bit
+    # functions; seed column first => different first-lane mixing
+    h = F.struct(F.xxhash64(F.lit(0x5EED0), *cols).alias("h1"),
+                 F.xxhash64(F.lit(0x5EED1), *cols).alias("h2"))
     # split aggregates — see uniqueness_hll for the Expand-plan trap
     exact = df.agg(F.count(F.lit(1)).alias("n_rows"),
                    F.count_distinct(h).alias("n_exact"))

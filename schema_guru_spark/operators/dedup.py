@@ -121,20 +121,24 @@ def _lsh_candidates(sigs: DataFrame, bands: int, r: int) -> DataFrame:
     )
 
 
-def char_shingle_frame(df: DataFrame, id_col: str, text_col: str,
-                       k: int = 5) -> DataFrame:
-    """Distinct character k-shingles per doc as (id, ngram) rows —
-    whole-stage-codegen JVM (normalize -> positional substrings ->
-    array_distinct -> explode). Shingling matches the minhash kernel:
-    lowercase, whitespace collapsed to single spaces; docs shorter than
-    k contribute their whole text as one shingle."""
+def _char_shingle_array(text_col: str, k: int):
+    """Distinct character k-shingle ARRAY expression — whole-stage-codegen
+    JVM (normalize -> positional substrings -> array_distinct). Shingling
+    matches the minhash kernel: lowercase, whitespace collapsed to single
+    spaces; docs shorter than k contribute their whole text as one
+    shingle."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     n_g = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    grams = F.array_distinct(
+    return F.array_distinct(
         F.transform(F.sequence(F.lit(1), n_g),
                     lambda i: F.substring(norm, i, k)))
+
+
+def char_shingle_arrays(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 5) -> DataFrame:
+    """(id, grams array<string>) — one row per doc, distinct shingles."""
     return df.select(F.col(id_col).alias("id"),
-                     F.explode(grams).alias("ngram"))
+                     _char_shingle_array(text_col, k).alias("grams"))
 
 
 def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -159,30 +163,33 @@ def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
     assert n_hashes % bands == 0
     sigs = minhash_signatures(df, id_col, text_col, n_hashes,
                               shingle_k).localCheckpoint()
-    cand = _lsh_candidates(sigs, bands, n_hashes // bands)
-    grams = char_shingle_frame(df, id_col, text_col, shingle_k)
-    # restrict the inverted index to candidate docs before the self-join
+    cand = _lsh_candidates(sigs, bands, n_hashes // bands).localCheckpoint()
+    # PAIR-LOCAL verification: join each LSH candidate pair to the two
+    # docs' distinct-shingle ARRAYS and intersect in place. Work and
+    # shuffle are bounded by Σ_pairs(|A| + |B|) — linear in the candidate
+    # set. The previous plan self-joined the candidate-restricted shingle
+    # inverted index on ngram and only intersected with the candidate set
+    # AFTER the pair groupBy, so one corpus-frequent shingle (whitespace-
+    # normalized boilerplate / license headers — endemic in source-code
+    # corpora) with n candidate docs generated n² intermediate rows: the
+    # plan's single quadratic term at 100 TB. Pinned by
+    # tests/test_scale_guards.py::test_minhash_verify_no_shingle_self_join.
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .unionByName(cand.select(F.col("id_b").alias("id")))
                 .distinct())
-    cgrams = grams.join(cand_ids, "id", "left_semi").localCheckpoint()
-    sizes = cgrams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    l, r = cgrams.alias("l"), cgrams.alias("r")
-    inter = (
-        l.join(r, "ngram")
-        .where(F.col("l.id") < F.col("r.id"))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-        .join(cand, ["id_a", "id_b"])   # only LSH-colliding pairs
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    garr = (char_shingle_arrays(df, id_col, text_col, shingle_k)
+            .join(cand_ids, "id", "left_semi")
+            .localCheckpoint())
+    ga = garr.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = garr.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    common = F.size(F.array_intersect("ga", "gb"))
+    sz_a, sz_b = F.size("ga"), F.size("gb")
     # threshold the RAW ratio (the oracle does too); round only for
     # display — filtering on the rounded value would admit pairs up to
     # 5e-7 below the threshold and break exact parity
-    raw = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    raw = common / (sz_a + sz_b - common)
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        cand.join(ga, "id_a").join(gb, "id_b")
         .where(raw >= threshold)
         .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
     )

@@ -167,6 +167,9 @@ def _widen_small_scan(src: DataFrame) -> DataFrame:
     spark = src.sparkSession
     par = spark.sparkContext.defaultParallelism
     try:
+        # private JVM API (tested against Spark 4.1.x) — the broad
+        # except degrades to no-widening on a Spark upgrade rather than
+        # breaking; revisit the call chain if the stats() shape changes
         total_bytes = int(
             src._jdf.queryExecution().optimizedPlan().stats()
                .sizeInBytes())
@@ -217,6 +220,60 @@ def infer_json_column(df: DataFrame, column: str, ctx: SchemaContext,
     return InferResult(acc, n_ok, n_err, violations)
 
 
+def _fold_keyed_batch(accs: dict, counts: dict, pdf: pd.DataFrame,
+                      key_col: str, column: str, ctx: SchemaContext,
+                      loads_fn=fast_loads) -> None:
+    """Fold one Arrow batch into per-key accumulators — the keyed twin
+    of the global derive pass's unique-document fast path (see
+    ``_derive_partial``): documents are ``pd.factorize``d so each
+    DISTINCT text is parsed and derived exactly once per batch,
+    multiplicities folding in via the one-self-merge stabilization law
+    (``s ⊕ s`` is the fixed point — test_merge_self_stabilizes). Cuts
+    the per-doc Python work from O(rows) to O(distinct (key, doc)) on
+    duplicate-heavy corpora, which JSON-bearing code repos are.
+
+    ``loads_fn`` is injectable so tests can count parse calls.
+    """
+    from schema_guru_spark.core.accumulate import accumulate_doc
+
+    codes, uniques = pd.factorize(pdf[column], use_na_sentinel=True)
+    parsed: list = []
+    for text in uniques:
+        try:
+            value = loads_fn(text)
+            if value is None:
+                raise ValueError("null content")
+            parsed.append((value, False))
+        except (ValueError, TypeError):
+            parsed.append((None, True))
+    sub = pd.DataFrame({"k": pdf[key_col].to_numpy(), "c": codes})
+    # dropna=False: a NULL key is still a key (matches the row-loop
+    # behavior this fast path replaced)
+    grouped = sub.groupby(["k", "c"], sort=False, dropna=False).size()
+    for (key, code), cnt in grouped.items():
+        if key is not None and pd.isna(key):
+            key = None
+        cnt = int(cnt)
+        st = accs.get(key)
+        if st is None:
+            st = accs[key] = {}
+            counts[key] = [0, 0]
+        if code < 0:   # factorize NA sentinel: null content rows
+            counts[key][1] += cnt
+            continue
+        value, bad = parsed[code]
+        if bad:
+            counts[key][1] += cnt
+            continue
+        try:
+            accumulate_doc(st, value, ctx)
+            if cnt > 1:
+                accumulate_doc(st, value, ctx)
+            counts[key][0] += cnt
+        except ValueError:
+            counts[key][1] += cnt
+
+
 def infer_json_column_by_key(df: DataFrame, column: str, key_col: str,
                              ctx: SchemaContext, n_salts: int = 8) -> DataFrame:
     """Per-key (segmented) schema inference — G1/A8 of SURVEY.md §2.
@@ -244,24 +301,10 @@ def infer_json_column_by_key(df: DataFrame, column: str, key_col: str,
     part_schema = f"{key_col} string, payload string, n_ok bigint, n_err bigint"
 
     def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from schema_guru_spark.core.accumulate import accumulate_doc
-
         accs: dict = {}
         counts: dict = {}
         for pdf in batches:
-            for key, text in zip(pdf[key_col], pdf[column]):
-                st = accs.get(key)
-                if st is None:
-                    st = accs[key] = {}
-                    counts[key] = [0, 0]
-                try:
-                    value = fast_loads(text) if text is not None else None
-                    if value is None:
-                        raise ValueError("null content")
-                    accumulate_doc(st, value, ctx)
-                    counts[key][0] += 1
-                except (ValueError, TypeError):
-                    counts[key][1] += 1
+            _fold_keyed_batch(accs, counts, pdf, key_col, column, ctx)
         if accs:
             yield pd.DataFrame(
                 [(k, dumps(a), counts[k][0], counts[k][1])

@@ -120,6 +120,10 @@ def decode_png(data: bytes) -> np.ndarray:
         body = data[pos + 8:pos + 8 + length]
         if len(body) != length:
             raise ValueError("truncated chunk body")
+        if pos + 12 + length > len(data):
+            # keep the ValueError contract: a PNG truncated inside the
+            # 4-byte CRC field must not surface as struct.error
+            raise ValueError("truncated chunk CRC")
         (crc,) = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])
         if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {typ!r} chunk")

@@ -58,6 +58,13 @@ _SCAN_OUT = ("kind string, bucket int, repo string, lang string, "
              "payload string, n bigint")
 
 
+# bump when bucket_expr's formula changes: a layout written under a
+# different formula has different row-to-bucket membership even with
+# identical (n_buckets, n_salts)
+_BUCKET_EXPR_VERSION = 1
+_LAYOUT_SIDECAR = "_layout.json"
+
+
 def materialize_bucketed(df: DataFrame, path: str, n_buckets: int = 64,
                          n_salts: int = 8) -> None:
     """WRITE-TIME salted-bucket layout for the repo table: compute the
@@ -68,9 +75,48 @@ def materialize_bucketed(df: DataFrame, path: str, n_buckets: int = 64,
     resumed job physically scans only the unfinished buckets' files
     instead of re-reading the whole table to re-derive bucket ids
     (pinned by tests/test_pipeline.py::test_bucketed_layout_prunes).
+
+    A ``_layout.json`` sidecar records (n_buckets, n_salts,
+    bucket_expr_version) so a reader can verify it is computing over the
+    SAME row-to-bucket mapping — a bare range check on the bucket column
+    passes silently for a layout written with different n_salts (same
+    bucket range, different membership), which would make checkpoint
+    manifests describe the wrong row sets on resume. Checkpoint dirs are
+    invalid across layout changes for the same reason.
     """
     (df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
        .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    import os
+    with open(os.path.join(path, _LAYOUT_SIDECAR), "w") as f:
+        json.dump({"n_buckets": n_buckets, "n_salts": n_salts,
+                   "bucket_expr_version": _BUCKET_EXPR_VERSION}, f)
+
+
+def _find_layout_sidecar(df: DataFrame) -> Optional[dict]:
+    """Locate the ``_layout.json`` next to the DataFrame's input files
+    (bucket=N partition dirs sit one level below the table root). Returns
+    None for non-file sources or layouts written without a sidecar."""
+    import os
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    first = files[0]
+    if first.startswith("file:"):
+        first = first[len("file:"):]
+    d = os.path.dirname(first)
+    for _ in range(3):   # part file -> bucket=N -> table root
+        cand = os.path.join(d, _LAYOUT_SIDECAR)
+        if os.path.exists(cand):
+            with open(cand) as f:
+                return json.load(f)
+        parent = os.path.dirname(d)
+        if parent == d:
+            break
+        d = parent
+    return None
 
 
 def bucket_expr(n_buckets: int, n_salts: int):
@@ -263,17 +309,31 @@ def validate_repo_table(
     # a table written by materialize_bucketed already carries bucket as
     # a partition column — reuse it so chunk/resume filters prune at the
     # directory level instead of re-deriving the hash over a full scan.
-    # Guard against a layout/parameter mismatch (or an unrelated column
-    # that happens to be named bucket): every pre-existing bucket id
-    # must fall inside [0, n_buckets) or rows would silently escape the
-    # chunk loop. The min/max agg is answered from parquet footer stats.
+    # Layout identity is verified via the _layout.json sidecar: the
+    # bucket RANGE alone cannot distinguish a layout written under
+    # different n_salts (same [0, n_buckets) range, different
+    # row-to-bucket membership), and a membership mismatch corrupts
+    # resume — the manifest's per-bucket 'done' set would describe
+    # different row sets than this run computes. The range check remains
+    # as the fallback guard for sidecar-less external layouts.
     if "bucket" in df.columns:
-        lo, hi = df.agg(F.min("bucket"), F.max("bucket")).collect()[0]
-        if lo is None or lo < 0 or hi >= n_buckets:
-            raise ValueError(
-                f"existing bucket column spans [{lo}, {hi}] which does "
-                f"not fit n_buckets={n_buckets}; re-materialize the "
-                f"layout with matching parameters or drop the column")
+        layout = _find_layout_sidecar(df)
+        if layout is not None:
+            expected = {"n_buckets": n_buckets, "n_salts": n_salts,
+                        "bucket_expr_version": _BUCKET_EXPR_VERSION}
+            if layout != expected:
+                raise ValueError(
+                    f"bucketed layout was materialized with {layout} but "
+                    f"this run expects {expected}; re-materialize with "
+                    f"matching parameters (checkpoint dirs are invalid "
+                    f"across layout changes)")
+        else:
+            lo, hi = df.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+            if lo is None or lo < 0 or hi >= n_buckets:
+                raise ValueError(
+                    f"existing bucket column spans [{lo}, {hi}] which does "
+                    f"not fit n_buckets={n_buckets}; re-materialize the "
+                    f"layout with matching parameters or drop the column")
         bucketed = df
     else:
         bucketed = df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
@@ -388,10 +448,18 @@ def constraint_report(spark: SparkSession, df: DataFrame,
     # ONE pass over the table projects everything the checks need
     # (~30 bytes/row), cached; content is read exactly once here
     key_cols = ("repo", "path", "commit", "lang")
+    # 128-bit key pre-hash: two independently-seeded xxhash64 columns.
+    # One 64-bit hash expects ~27 phantom key collisions at the
+    # north-rule's 10^12 rows (birthday n²/2⁶⁵) — wide enough that the
+    # screen stays silent (~1.5e-15 expected) while still shuffling 16
+    # bytes/row instead of the raw (repo, path, commit) strings.
     slim = (df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
               .select("bucket", "repo",
                       F.length("content").alias("clen"),
-                      F.xxhash64("repo", "path", "commit").alias("kh"),
+                      F.xxhash64(F.lit(0x5EED0), "repo", "path", "commit")
+                       .alias("kh1"),
+                      F.xxhash64(F.lit(0x5EED1), "repo", "path", "commit")
+                       .alias("kh2"),
                       *[F.col(c).isNull().cast("int").alias(f"_n_{c}")
                         for c in key_cols])
               .persist())
@@ -405,9 +473,9 @@ def constraint_report(spark: SparkSession, df: DataFrame,
         # handles concurrent jobs from one session natively)
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=4) as ex:
-            # hashed screen: 8-byte shuffle rows, not raw key strings
+            # hashed screen: 16-byte shuffle rows, not raw key strings
             f_uniq = ex.submit(
-                lambda: C.uniqueness_hashed(slim, ["kh"]).collect()[0])
+                lambda: C.uniqueness_hashed(slim, ["kh1", "kh2"]).collect()[0])
             # referential integrity: broadcast LEFT ANTI, facts never
             # shuffled
             f_ri = ex.submit(

@@ -33,6 +33,11 @@ def main(argv=None) -> dict:
                          "catalog conf on spark-submit); Iceberg gives "
                          "partition pruning + stats-based file skipping "
                          "on the lang/repo filters for free")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="pin an Iceberg snapshot for the whole run "
+                         "(requires --table); a resumed job MUST reuse "
+                         "the original run's snapshot or the checkpoint "
+                         "manifest describes a different row set")
     ap.add_argument("--synthesize", type=int, default=0,
                     help="generate N synthetic files instead of --input")
     ap.add_argument("--checkpoint", default=None)
@@ -76,10 +81,10 @@ def main(argv=None) -> dict:
                 .repartition(128) \
                 .write.mode("overwrite").parquet(synth_dir)
         df = spark.read.parquet(synth_dir)
-    elif args.table:
-        df = spark.read.table(args.table)
-    elif args.input:
-        df = spark.read.parquet(args.input)
+    elif args.table or args.input:
+        from schema_guru_spark.sources.catalog import read_table
+        df = read_table(spark, table=args.table, path=args.input,
+                        snapshot_id=args.snapshot_id)
     else:
         ap.error("need --input, --table or --synthesize")
 

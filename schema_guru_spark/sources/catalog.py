@@ -1,0 +1,78 @@
+"""Catalog (Iceberg) read path for the repo table.
+
+The north rule names an Iceberg table of source-code repositories as
+the input. Every operator downstream is source-agnostic (they take a
+DataFrame), so this module is deliberately thin: resolve a catalog
+table when one is named, fall back to a parquet directory otherwise.
+What Iceberg buys over raw parquet directories at 100 TB — and why the
+production deployment should configure a catalog:
+
+  * manifest-driven partition pruning + per-file min/max skipping:
+    the validation job's resume filter (``bucket IN (<chunk>)``) and
+    the constraint pass's lang/repo predicates eliminate data files
+    from Iceberg's own metadata before a single file is opened — no
+    object-store directory listing at all (the listing alone is a
+    scaling wall for 10^8-file tables);
+  * snapshot isolation for resumable jobs: pinning ``snapshot_id``
+    makes a resumed run validate EXACTLY the row set the original run
+    started on. Over a live table, a resume without it would process
+    different rows than the checkpoint manifest's per-bucket 'done'
+    accounting describes — the same class of corruption the
+    ``_layout.json`` sidecar guards against on the bucket side;
+  * column-id-based schema evolution, so a renamed/reordered content
+    column maps correctly instead of positionally.
+
+Wiring on a real cluster (spark-submit):
+
+    --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+    --conf spark.sql.catalog.repos=org.apache.iceberg.spark.SparkCatalog
+    --conf spark.sql.catalog.repos.type=hadoop   # or hive / rest
+    --conf spark.sql.catalog.repos.warehouse=s3://bucket/warehouse
+
+then ``read_table(spark, table="repos.db.source_files")``. In this
+sandbox the runtime jar is not baked in (no network to fetch it), so
+the integration test skips with that reason and the catalog path is
+exercised against the session catalog instead — the code path is the
+same ``spark.read.table`` resolution either way.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_runtime_available(spark: SparkSession) -> bool:
+    """True when the iceberg-spark runtime is on the JVM classpath."""
+    try:
+        (spark._jvm.java.lang.Class                      # noqa: SLF001
+         .forName("org.apache.iceberg.catalog.Catalog"))
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, table: Optional[str] = None,
+               path: Optional[str] = None,
+               snapshot_id: Optional[int] = None) -> DataFrame:
+    """Resolve the repo table: catalog table when named (Iceberg in
+    production; any ``spark.read.table``-resolvable name works),
+    parquet directory fallback otherwise.
+
+    ``snapshot_id`` pins an Iceberg time-travel read; it requires a
+    catalog table — a parquet directory has no snapshot lineage, so
+    passing both is a loud error rather than a silently ignored option.
+    """
+    if table:
+        reader = spark.read
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        return reader.table(table)
+    if path:
+        if snapshot_id is not None:
+            raise ValueError(
+                "snapshot_id requires a catalog table; a parquet "
+                "directory has no snapshot lineage")
+        return spark.read.parquet(path)
+    raise ValueError("read_table needs a table name or a parquet path")

@@ -86,6 +86,11 @@ def test_png_codec_rejects_corruption():
     data[40] ^= 0xFF                          # flip a byte inside IDAT
     with pytest.raises(ValueError):
         decode_png(bytes(data))               # CRC must catch it
+    # truncation INSIDE a chunk's 4-byte CRC field must keep the
+    # ValueError contract (not leak struct.error to callers)
+    full = bytes(encode_png(arr, 3))
+    with pytest.raises(ValueError):
+        decode_png(full[:-2])
 
 
 def test_wav_codec_roundtrip_pure():

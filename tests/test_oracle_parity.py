@@ -111,3 +111,29 @@ def test_parity_invariant_to_shuffle_partitioning(spark, ddb):
                 _rows_canon(list(rel.columns), rel.fetchall()), name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_documents_fixture_sits_outside_banding_gap(ddb):
+    """ADVICE r02: minhash_pairs_docs compares an LSH-pruned Spark result
+    to an exact all-pairs oracle — equality is only guaranteed because no
+    doc pair's exact char-5-gram Jaccard falls in the banding detection
+    gap (a pair at j=0.8 escapes all 16 bands w.p. ~5e-2). Pin that
+    fixture property so regenerating/enlarging the documents table fails
+    HERE with a clear message instead of as an opaque parity mismatch."""
+    gap = ddb.sql(f"""
+        WITH {entrymod._CHAR_JACCARD_PAIRS_CTE}
+        SELECT count(*) AS n_in_gap,
+               sum(CASE WHEN j >= 0.93 THEN 1 ELSE 0 END) AS n_true_pairs
+        FROM (SELECT common / (sa.sz + sb.sz - common) AS j
+              FROM inter
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b)
+        WHERE j >= 0.93 OR (j >= 0.6 AND j < 0.93)
+    """).fetchone()
+    n_total, n_true = gap
+    n_in_gap = n_total - (n_true or 0)
+    assert n_in_gap == 0, (
+        f"{n_in_gap} doc pair(s) with exact Jaccard in [0.6, 0.93): the "
+        "fixture no longer guarantees LSH recall — regenerate documents "
+        "with a wider similarity gap or raise bands")
+    assert n_true and n_true > 0, "fixture lost its true near-dup pairs"

@@ -349,3 +349,77 @@ def test_constraint_report_empty_table_and_tiny_null(spark):
     rep2 = constraint_report(spark, holed, n_buckets=N_BUCKETS)
     assert rep2["keys_complete"] is False
     assert rep2["key_null_counts"]["commit"] >= 1
+
+
+def test_layout_sidecar_rejects_parameter_mismatch(spark, tmp_path):
+    """ADVICE r02: a layout materialized under different (n_buckets,
+    n_salts) has different row-to-bucket membership even when every
+    bucket id falls in range — the sidecar must catch what the bare
+    range check cannot."""
+    from schema_guru_spark.pipeline import (
+        materialize_bucketed, validate_repo_table)
+    from schema_guru_spark.sources.repo_table import synthesize_repo_table
+
+    df = synthesize_repo_table(spark, 400)
+    path = str(tmp_path / "repo_layout")
+    materialize_bucketed(df, path, n_buckets=16, n_salts=4)
+    bucketed = spark.read.parquet(path)
+
+    # same n_buckets, different n_salts: range check alone would pass
+    with pytest.raises(ValueError, match="materialized with"):
+        validate_repo_table(spark, bucketed, n_buckets=16, n_salts=8)
+    # matching parameters still run
+    res = validate_repo_table(spark, bucketed, n_buckets=16, n_salts=4,
+                              max_err_rate=0.02)
+    assert res.verdicts.count() > 0
+
+
+def test_keyed_infer_parses_each_distinct_doc_once():
+    """VERDICT r02 #5: the per-key phase-1 fold factorizes documents, so
+    a duplicate-heavy batch costs O(distinct) Python parses, not
+    O(rows) — same fast path as the global derive pass."""
+    import pandas as pd
+
+    from schema_guru_spark.core.context import SchemaContext
+    from schema_guru_spark.core.json_fast import loads as fast_loads
+    from schema_guru_spark.operators.infer import _fold_keyed_batch
+
+    ctx = SchemaContext.make(0)
+    docs = ['{"a": 1}', '{"a": 2, "b": "x"}', "not-json"]
+    pdf = pd.DataFrame({
+        "k": ["t1", "t2"] * 300,
+        "props": [docs[i % 3] for i in range(600)],
+    })
+    calls = {"n": 0}
+
+    def counting_loads(text):
+        calls["n"] += 1
+        return fast_loads(text)
+
+    accs, counts = {}, {}
+    _fold_keyed_batch(accs, counts, pdf, "k", "props", ctx,
+                      loads_fn=counting_loads)
+    assert calls["n"] == 3                      # O(distinct), not 600
+    assert set(accs) == {"t1", "t2"}
+    # ok/err accounting still per ROW: 600 rows, every 3rd is bad json
+    assert counts["t1"][0] + counts["t2"][0] == 400
+    assert counts["t1"][1] + counts["t2"][1] == 200
+
+    # bit-parity with the row-at-a-time fold it replaced
+    from schema_guru_spark.core.accumulate import accumulate_doc
+    from schema_guru_spark.core.microschema import dumps
+    ref_accs, ref_counts = {}, {}
+    for k, text in zip(pdf["k"], pdf["props"]):
+        st = ref_accs.setdefault(k, {})
+        c = ref_counts.setdefault(k, [0, 0])
+        try:
+            v = fast_loads(text)
+            if v is None:
+                raise ValueError("null content")
+            accumulate_doc(st, v, ctx)
+            c[0] += 1
+        except (ValueError, TypeError):
+            c[1] += 1
+    assert counts == ref_counts
+    for k in ref_accs:
+        assert dumps(accs[k]) == dumps(ref_accs[k])

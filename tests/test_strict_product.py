@@ -126,3 +126,31 @@ def test_strict_receiver_with_both_slots_drops_own_int():
     out = merge(s, dict(P_INT), STRICT)
     assert "int" not in out                           # both ints gone
     assert out["num"] == {"min": 1.5, "max": 2.5, "enum": None}
+
+
+def test_strict_product_pure_submerge_receiver_is_pure_side():
+    # ProductSchema.scala:83-88 — product ⊕ pure obj sub-merges with the
+    # PURE side as receiver (obj.merge(this.objectSchema)). The receiver
+    # order is observable when the obj's properties hold nested int/num
+    # product states, since strict-mode nested merges are themselves
+    # order-dependent: pure-obj-receiver keeps ITS num slot's bounds and
+    # drops the product side's nested int bounds.
+    nested_num = {"num": {"min": 1.0, "max": 2.0, "enum": None},
+                  "str": P_NUM["str"]}            # product {num, str}
+    nested_int = {"int": {"min": 10, "max": 20, "enum": None},
+                  "str": P_INT["str"]}            # product {int, str}
+    prod = {"bool": True, "obj": {"props": {"x": dict(nested_int)}}}
+    pure_obj = {"obj": {"props": {"x": dict(nested_num)}}}
+
+    # product.merge(pure): sub-receiver is pure_obj's x = {num,str} ->
+    # mergeInteger tombstones the argument's nested int; 10..20 LOST
+    out = merge(dict(prod), dict(pure_obj), STRICT)
+    x = out["obj"]["props"]["x"]
+    assert x["num"] == {"min": 1.0, "max": 2.0, "enum": None}
+    assert "int" not in x
+
+    # pure.merge(product) delegates through mergeToProduct
+    # (JsonSchema.scala:83-85: prod.merge(this)) — SAME pure-side
+    # receiver, same result
+    out2 = merge(dict(pure_obj), dict(prod), STRICT)
+    assert out2["obj"]["props"]["x"] == x
