@@ -286,6 +286,27 @@ def q_png_decode_features(spark, sf):
     ).orderBy("id")
 
 
+def q_jpeg_decode_features(spark, sf):
+    # REAL compressed-image decode: rows carry actual baseline JPEGs
+    # (Huffman entropy coding + DCT + quantization) of a deterministic
+    # FLAT-8x8-BLOCK pattern. With the all-ones quant table a flat block
+    # round-trips bit-exactly (operators/jpeg.py docstring), so the
+    # oracle recomputes channel means analytically over BLOCK indices —
+    # a hash match proves the full entropy decode round-trips the
+    # encoder with zero loss.
+    from schema_guru_spark.operators import multimodal as MM
+    ids = _t(spark, sf, "documents").where(F.col("doc_id") < 40) \
+        .select("doc_id")
+    feats = MM.decode_and_featurize(MM.attach_jpeg_media(ids, "doc_id"),
+                                    id_col="doc_id")
+    return feats.select(
+        "id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("id")
+
+
 # LSH/banding pipelines — oracle-checked through their exact-output
 # faces: the Spark side prunes with LSH but the RESULT is defined by
 # exact similarity, which DuckDB computes directly (all pairs).
@@ -329,6 +350,38 @@ def q_ivf_topk_embeddings(spark, sf):
                         n_centroids=8, n_probe=8)
 
 
+def q_embedding_neardup_pairs(spark, sf):
+    # ORACLE for the banded sign-LSH embedding dedup (previously
+    # pytest-only): the fixture has no natural near-dups (max pair
+    # cosine 0.51), so the query plants them — each vec_id < 50 gets a
+    # deterministic perturbed twin (id + 1000) built with JVM array
+    # ops, cosine ~0.999, leaving a huge gap to the natural 0.51
+    # ceiling. The Spark side prunes candidates with 4x4-banded
+    # hyperplane LSH and verifies exactly; the DuckDB twin computes all
+    # pairs directly. At cosine 0.999 a true pair escapes all 4 bands
+    # w.p. ~1e-5 per pair on RANDOM planes — but the planes are a fixed
+    # seed and the vectors fixed, so the parity is deterministic
+    # (verified green, like the minhash fixture-gap argument).
+    emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 50)
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("e"))
+    # rename the id first: a lateral column alias would otherwise make
+    # the lambda's vec_id resolve to the ALIASED (vec_id + 1000) output
+    # column, silently shifting the perturbation formula
+    pert = base.withColumnRenamed("vec_id", "orig_id").select(
+        (F.col("orig_id") + 1000).alias("vec_id"),
+        F.transform(
+            "e",
+            lambda x, i: x + F.lit(0.003)
+            * (((F.col("orig_id") + i + F.lit(1)) % 7).cast("double")
+               - F.lit(3.0)),
+        ).alias("e"))
+    both = base.unionByName(pert)
+    return D.embedding_near_duplicates(both, "vec_id", "e",
+                                       threshold=0.9) \
+            .orderBy("id_a", "id_b")
+
+
 def q_fingerprint_winnow_docs(spark, sf):
     return TS.fingerprints(_t(spark, sf, "documents"), "text", "doc_id") \
              .select("id", "winnow_min", "winnow_fps")
@@ -357,6 +410,37 @@ def q_infer_numeric_bounds(spark, sf):
     return spark.createDataFrame(
         [(k.get("type"), k.get("minimum"), k.get("maximum"))],
         "k_type string, k_min long, k_max long")
+
+
+def q_infer_string_annotations(spark, sf):
+    # pins the string-annotation surface (D2 lengths, D3-D8 format
+    # priority chain, D7 base64 pattern, A2 eq-or-none merge, T2
+    # maxLength fix) THROUGH the distributed engine, the way
+    # infer_numeric_bounds pins D9/A3/T1: build a 5-string-key JSON doc
+    # per documents row (uuid / iso timestamp / uri / base64-ish hex /
+    # free-text source), infer the merged schema, and project each
+    # rendered property's (type, format, pattern, minLength, maxLength).
+    # The oracle recomputes every annotation independently with SQL
+    # regexes + all-agree aggregation over the same reconstructed values.
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select(F.to_json(F.struct(
+        F.format_string("%016x", d).alias("b"),
+        F.concat(F.lit("https://example.com/doc/"),
+                 d.cast("string")).alias("h"),
+        F.col("source").alias("s"),
+        F.format_string("2024-01-%02dT%02d:%02d:05Z",
+                        F.pmod(d, F.lit(28)) + 1, F.pmod(d, F.lit(24)),
+                        F.pmod(d, F.lit(60))).alias("t"),
+        F.format_string("%08x-0000-4000-8000-%012x", d, d).alias("u"),
+    )).alias("doc"))
+    res = infer_json_column(docs, "doc", CTX)
+    props = res.schema(CTX).get("properties") or {}
+    rows = [(k, p.get("type"), p.get("format"), p.get("pattern"),
+             p.get("minLength"), p.get("maxLength"))
+            for k, p in sorted(props.items())]
+    return spark.createDataFrame(
+        rows, "key string, v_type string, format string, pattern string, "
+              "min_len long, max_len long")
 
 
 def q_infer_by_type_keys(spark, sf):
@@ -427,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness_orders": q_completeness_orders,
         "fd_lineitem_order_returnflag": q_fd_lineitem_order_returnflag,
         "png_decode_features": q_png_decode_features,
+        "jpeg_decode_features": q_jpeg_decode_features,
         "wav_decode_features": q_wav_decode_features,
         "avi_frame_features": q_avi_frame_features,
         "minhash_pairs_docs": q_minhash_pairs_docs,
@@ -434,7 +519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fp_docs": q_simhash_fp_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "fingerprint_winnow_docs": q_fingerprint_winnow_docs,
+        "infer_string_annotations": q_infer_string_annotations,
         "infer_top_keys": q_infer_top_keys,
         "infer_numeric_bounds": q_infer_numeric_bounds,
         "infer_by_type_keys": q_infer_by_type_keys,
@@ -891,6 +978,31 @@ def oracle_sql() -> dict[str, str]:
                    round(avg((7*x + 13*y + 58 + 31*id) % 256), 6) AS mean_b
             FROM px GROUP BY 1, 2, 3 ORDER BY id
         """,
+        "jpeg_decode_features": """
+            -- analytic twin of the flat-block JPEG pattern: the Spark
+            -- side entropy-encodes block(bx,by,c) = (7bx+13by+29c+31id)
+            -- mod 256 into real baseline JPEGs and decodes them back
+            -- LOSSLESSLY (flat blocks, unit quant table); this
+            -- recomputes the means over block indices without a codec
+            WITH ids AS (
+              SELECT doc_id AS id,
+                     (doc_id % 3 + 2)::INT AS wb,
+                     (doc_id % 2 + 2)::INT AS hb
+              FROM documents WHERE doc_id < 40),
+            px AS (
+              SELECT i.id, i.wb, i.hb, gx.x AS bx, gy.y AS by
+              FROM ids i,
+                   generate_series(0, 4) gx(x),
+                   generate_series(0, 3) gy(y)
+              WHERE gx.x < i.wb AND gy.y < i.hb)
+            SELECT id, (wb * 8)::INT AS width, (hb * 8)::INT AS height,
+                   round(avg((7*bx + 13*by + 31*id) % 256), 6) AS mean_r,
+                   round(avg((7*bx + 13*by + 29 + 31*id) % 256), 6)
+                     AS mean_g,
+                   round(avg((7*bx + 13*by + 58 + 31*id) % 256), 6)
+                     AS mean_b
+            FROM px GROUP BY 1, 2, 3 ORDER BY id
+        """,
         "completeness_orders": """
             WITH base AS (
               SELECT count(*)::BIGINT AS n_rows,
@@ -972,6 +1084,48 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT c_mktsegment AS raw FROM customer)
             ORDER BY raw
         """,
+        "infer_string_annotations": (lambda b64=__import__(
+            "schema_guru_spark.core.formats", fromlist=["BASE64_PATTERN"]
+        ).BASE64_PATTERN: f"""
+            WITH vals AS (
+              SELECT printf('%016x', doc_id) AS b,
+                     'https://example.com/doc/' || doc_id::VARCHAR AS h,
+                     source AS s,
+                     printf('2024-01-%02dT%02d:%02d:05Z',
+                            doc_id % 28 + 1, doc_id % 24, doc_id % 60) AS t,
+                     printf('%08x-0000-4000-8000-%012x',
+                            doc_id, doc_id) AS u
+              FROM documents),
+            long AS (
+              UNPIVOT vals ON b, h, s, t, u INTO NAME key VALUE val),
+            det AS (
+              SELECT key, length(val) AS l,
+                CASE WHEN regexp_matches(val, '{_UUID_RE}') THEN 'uuid'
+                     WHEN length(val) > 10
+                          AND regexp_matches(val, '{_DT_RE}')
+                       THEN 'date-time'
+                     WHEN regexp_matches(val, '{_IPV4_RE}') THEN 'ipv4'
+                     WHEN regexp_matches(val, '{_URI_RE}') THEN 'uri'
+                     END AS fmt,
+                CASE WHEN regexp_matches(val, '{b64}') THEN 1 ELSE 0
+                     END AS is_b64
+              FROM long),
+            agg AS (
+              SELECT key,
+                CASE WHEN count(fmt) = count(*) AND min(fmt) = max(fmt)
+                     THEN min(fmt) END AS format,
+                CASE WHEN sum(is_b64) = count(*) THEN '{b64}'
+                     END AS pattern,
+                min(l) AS min_len, max(l) AS max_len
+              FROM det GROUP BY key)
+            SELECT key, 'string' AS v_type, format, pattern,
+                   min_len::BIGINT AS min_len,
+                   (CASE WHEN format = 'ipv4' THEN 15
+                         WHEN format = 'ipv6' THEN 39
+                         WHEN format = 'uri' THEN 8192
+                         ELSE max_len END)::BIGINT AS max_len
+            FROM agg ORDER BY key
+        """)(),
         "infer_top_keys": """
             WITH ok AS (
               SELECT props FROM events
@@ -1061,6 +1215,31 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings, q
             ORDER BY cosine DESC, id ASC LIMIT 10
+        """,
+        "embedding_neardup_pairs": """
+            -- all-pairs twin of the banded sign-LSH plan: same planted
+            -- perturbation (1-based g.i == Spark's 0-based i + 1), same
+            -- double arithmetic, exact cosine on every pair
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings WHERE vec_id < 50),
+            pert AS (
+              SELECT b.vec_id + 1000 AS vec_id,
+                     list(b.e[g.i] + 0.003
+                          * (((b.vec_id + g.i) % 7) - 3.0)
+                          ORDER BY g.i) AS e
+              FROM base b, generate_series(1, 512) g(i)
+              WHERE g.i <= len(b.e)
+              GROUP BY b.vec_id),
+            all_v AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_inner_product(a.e, b.e)
+                     / (sqrt(list_inner_product(a.e, a.e))
+                        * sqrt(list_inner_product(b.e, b.e))) AS c
+              FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(c, 6) AS cosine
+            FROM pairs WHERE c >= 0.9 ORDER BY id_a, id_b
         """,
         "fingerprint_winnow_docs": r"""
             WITH d AS (SELECT doc_id AS id,

@@ -199,14 +199,22 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
         F.sum(F.when(F.col("g") == g1, 1).otherwise(0)).alias("d1"),
         F.sum(F.when(F.col("g") == g2, 1).otherwise(0)).alias("d2"),
     )
+    # materialize the per-value reduction ONCE: four branches read it
+    # (boundaries, bucket subtotals, group totals, the windowed CDF) and
+    # without the checkpoint each branch re-runs the raw-row aggregate —
+    # measured 2.9x the serial plan's wall-clock at 583k distinct values
+    # purely from recompute (BENCH/REGRESSION_r03.md)
+    per_value = per_value.localCheckpoint()
     # LOGICAL range buckets: pid is a pure function of the value (count
     # of quantile boundaries below it), not a physical partition id — so
     # correctness never depends on exchange reuse or partitioner seeds.
     # Boundaries come from one percentile_approx over the (already
-    # reduced) per-value frame; 1-row broadcast.
+    # reduced) per-value frame; 1-row broadcast. Accuracy only affects
+    # bucket BALANCE (any boundary set gives the same statistic), so the
+    # cheap sketch setting is correct.
     bnd = per_value.agg(F.percentile_approx(
         "v", [i / n_range_parts for i in range(1, n_range_parts)],
-        10_000).alias("bs"))
+        1_000).alias("bs"))
     ranged = (per_value.crossJoin(F.broadcast(bnd))
               .withColumn("pid",
                           F.size(F.filter("bs",
@@ -217,8 +225,14 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
     # bounded by n_range_parts rows, so the triangular (b.pid < a.pid)
     # self-join is a tiny broadcast nested loop and the whole statistic
     # stays one DAG.
+    # n_range_parts rows — checkpointed because THREE consumers derive
+    # from it (both sides of the triangular offset join and the totals);
+    # unchecked, each consumer re-runs the full per-value bucket
+    # aggregate (measured: 5 passes over the per-value frame instead of
+    # 3 at 6M distinct values)
     pid_tot = ranged.groupBy("pid").agg(F.sum("d1").alias("s1"),
-                                        F.sum("d2").alias("s2"))
+                                        F.sum("d2").alias("s2")) \
+        .localCheckpoint()
     a, b = pid_tot.alias("a"), pid_tot.alias("b")
     off = (a.join(b, F.col("b.pid") < F.col("a.pid"), "left")
            .groupBy(F.col("a.pid").alias("pid"))
@@ -265,6 +279,10 @@ def drift_by_partition(df: DataFrame, value_col: str, part_col: str,
         )
         .groupBy(part_col, "bin").agg(F.count(F.lit(1)).alias("n"))
     )
+    # #parts x n_bins rows — materialize once: FOUR consumers derive
+    # from it (terms directly, glob, gtot via glob, ptot) and without
+    # the checkpoint each consumer re-scans the base table
+    binned = binned.localCheckpoint()
     glob = binned.groupBy("bin").agg(F.sum("n").alias("gn"))
     gtot = glob.agg(F.sum("gn").alias("gt"))
     ptot = binned.groupBy(part_col).agg(F.sum("n").alias("pt_n"))

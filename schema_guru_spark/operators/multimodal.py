@@ -2,14 +2,19 @@
 with typed metadata.
 
 The Spark-side contract — schema, partitioning, Arrow batch shapes, UDF
-signatures — is real and tested. The decode step supports two paths:
+signatures — is real and tested. The decode step supports three paths:
 
   * REAL PNG decode via the pure-Python codec in ``operators/png.py``
     (zlib inflate + all five predictor filters) — any payload starting
     with the PNG signature is actually decoded to pixels.
+  * REAL baseline-JPEG decode via ``operators/jpeg.py`` (marker parse,
+    canonical Huffman entropy decode, dequantize, IDCT) — any payload
+    starting with the SOI marker is actually decoded; progressive /
+    subsampled / restart-interval streams raise NotImplementedError
+    (declared scope, not a fake).
   * a deterministic fake decoder (byte-stats pseudo-pixels) behind
-    ``fake=True`` for shape tests and for formats whose codecs are not
-    in this container (jpeg/audio/video stay declared stubs).
+    ``fake=True`` for shape tests and for container formats with no
+    in-container codec (H.264 etc. stay declared stubs).
 
 Schema convention:
     media struct<data: binary, meta: struct<kind: string, format: string,
@@ -30,6 +35,9 @@ from schema_guru_spark.operators.png import (
     PNG_SIGNATURE, decode_png, encode_png,
 )
 from schema_guru_spark.operators.avi import decode_avi_rgb, encode_avi_rgb
+from schema_guru_spark.operators.jpeg import (
+    FLAT_QUANT, JPEG_SOI, decode_jpeg, encode_jpeg,
+)
 from schema_guru_spark.operators.wav import decode_wav, encode_wav
 
 MEDIA_META = T.StructType([
@@ -95,6 +103,54 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
                 medias.append({"data": data,
                                "meta": {"kind": "image", "format": "png",
                                         "width": w, "height": h,
+                                        "duration_ms": None}})
+            yield pd.DataFrame({id_col: pdf[id_col], "media": medias})
+
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("media", MEDIA_SCHEMA),
+    ])
+    return df.select(id_col).mapInPandas(fn, out_schema)
+
+
+def jpeg_dims(rid):
+    """Per-id JPEG fixture dimensions in BLOCKS (w_blocks, h_blocks) —
+    8x8-aligned so the flat-block fixtures round-trip bit-exactly."""
+    return (rid % 3 + 2, rid % 2 + 2)
+
+
+def _jpeg_pixels(rid: int) -> np.ndarray:
+    """Deterministic flat-8x8-block test pattern for id ``rid``:
+        block(bx, by, c) = (7*bx + 13*by + 29*c + 31*rid) mod 256
+    Flat blocks + the all-ones quant table make baseline JPEG LOSSLESS
+    on this pattern (see operators/jpeg.py docstring), so the DuckDB
+    oracle can recompute channel means analytically over block indices
+    and a hash match proves the entropy decode round-trips the encoder.
+    """
+    wb, hb = jpeg_dims(int(rid))
+    bx = np.arange(wb)[None, :, None]
+    by = np.arange(hb)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    blocks = ((7 * bx + 13 * by + 29 * c + 31 * int(rid)) % 256) \
+        .astype(np.uint8)
+    return np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+
+
+def attach_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL JPEG media column: each row carries an actual baseline-JPEG
+    encoding (Huffman entropy coding, DCT, quantization) of the
+    deterministic flat-block pattern. Arrow-batched."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                wb, hb = jpeg_dims(rid)
+                data = encode_jpeg(_jpeg_pixels(rid), FLAT_QUANT)
+                medias.append({"data": data,
+                               "meta": {"kind": "image", "format": "jpeg",
+                                        "width": wb * 8, "height": hb * 8,
                                         "duration_ms": None}})
             yield pd.DataFrame({id_col: pdf[id_col], "media": medias})
 
@@ -273,25 +329,29 @@ def decode_and_featurize(df: DataFrame, media_col: str = "media",
     Output: (id, width, height, mean_r/g/b double, thumb array<int> of
     resize_to*resize_to grayscale). Arrow-batched; per-image numpy work.
 
-    PNG payloads (signature-sniffed) are REALLY decoded by the
-    pure-Python codec; other formats raise NotImplementedError unless
-    ``fake=True`` selects the deterministic test decoder (jpeg/audio
-    codecs are not in this container — declared stub). Width/height for
-    PNG come from the decoded IHDR, not the metadata struct."""
+    PNG and baseline-JPEG payloads (signature-sniffed) are REALLY
+    decoded by the pure-Python codecs; other formats raise
+    NotImplementedError unless ``fake=True`` selects the deterministic
+    test decoder. Width/height come from the decoded header (IHDR /
+    SOF0), not the metadata struct."""
 
     def _decode(data, w, h):
         data = bytes(data) if data is not None else b""
         if data[:8] == PNG_SIGNATURE:
             img = decode_png(data)
-            ch = img.shape[2]
-            if ch <= 2:                 # gray / gray+alpha -> RGB
-                img = np.repeat(img[:, :, :1], 3, axis=2)
-            return img[:, :, :3]        # drop alpha if present
-        if not fake:
-            raise NotImplementedError(
-                "only PNG decode is available in this container; "
-                "pass fake=True for the deterministic test decoder")
-        return _fake_decode(data, w, h)
+        elif data[:2] == JPEG_SOI:
+            img = decode_jpeg(data)
+        else:
+            if not fake:
+                raise NotImplementedError(
+                    "only PNG and baseline-JPEG decode are available in "
+                    "this container; pass fake=True for the "
+                    "deterministic test decoder")
+            return _fake_decode(data, w, h)
+        ch = img.shape[2]
+        if ch <= 2:                     # gray / gray+alpha -> RGB
+            img = np.repeat(img[:, :, :1], 3, axis=2)
+        return img[:, :, :3]            # drop alpha if present
 
     out_schema = (f"id bigint, width int, height int, "
                   f"mean_r double, mean_g double, mean_b double, "

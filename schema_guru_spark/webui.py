@@ -140,9 +140,14 @@ optional <code>enumCardinality</code> field sets the enum cutoff.</p>
 
 
 class SchemaGuruHandler(BaseHTTPRequestHandler):
+    # static tree root (SchemaGuruRoutes.scala:62-75 serves
+    # resources/web); None falls back to the minimal inline page
+    static_dir: Optional[str] = None
+
     def do_GET(self):  # noqa: N802 (http.server API)
-        # the reference serves a static web UI at / (SchemaGuruRoutes
-        # .scala:62-75); a minimal inline page keeps the route surface
+        if self.static_dir is not None:
+            self._serve_static()
+            return
         if self.path not in ("/", "/index.html"):
             self.send_error(404)
             return
@@ -151,6 +156,34 @@ class SchemaGuruHandler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(_INDEX_HTML)))
         self.end_headers()
         self.wfile.write(_INDEX_HTML)
+
+    def _serve_static(self):
+        import mimetypes
+        import os
+
+        rel = self.path.split("?", 1)[0].lstrip("/") or "index.html"
+        # traversal guard: resolve and require containment in the root
+        root = os.path.realpath(self.static_dir)
+        full = os.path.realpath(os.path.join(root, rel))
+        if full != root and not full.startswith(root + os.sep):
+            self.send_error(404)
+            return
+        if os.path.isdir(full):
+            full = os.path.join(full, "index.html")
+        if not os.path.isfile(full):
+            self.send_error(404)
+            return
+        ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+        if ctype.startswith("text/") or ctype in (
+                "application/javascript", "application/json"):
+            ctype += "; charset=utf-8"
+        with open(full, "rb") as f:
+            payload = f.read()
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
 
     def do_POST(self):  # noqa: N802 (http.server API)
         if self.path != "/upload":
@@ -179,10 +212,31 @@ class SchemaGuruHandler(BaseHTTPRequestHandler):
         pass
 
 
-def serve(port: int = 8000) -> ThreadingHTTPServer:
+def default_static_dir() -> Optional[str]:
+    """The packaged static web app (webui_static/ next to this module),
+    or None when absent — mirrors the reference's resources/web tree
+    (original implementation, not a copy of the reference's JSX app)."""
+    import os
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "webui_static")
+    return d if os.path.isdir(d) else None
+
+
+def serve(port: int = 8000,
+          static_dir: Optional[str] = "auto") -> ThreadingHTTPServer:
     """Start the API server (non-blocking handle; call
-    ``serve_forever`` or use in tests with a thread)."""
-    return ThreadingHTTPServer(("127.0.0.1", port), SchemaGuruHandler)
+    ``serve_forever`` or use in tests with a thread).
+
+    ``static_dir``: "auto" serves the packaged webui_static/ tree when
+    present; a path serves that tree; None forces the minimal inline
+    page (pure-API mode)."""
+    resolved = default_static_dir() if static_dir == "auto" else static_dir
+
+    class Handler(SchemaGuruHandler):
+        pass
+
+    Handler.static_dir = resolved
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
 
 
 if __name__ == "__main__":
@@ -190,7 +244,11 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--static-dir", default="auto",
+                    help="static asset root; 'auto' uses the packaged "
+                         "webui_static/, 'none' disables static serving")
     args = ap.parse_args()
-    httpd = serve(args.port)
+    sd = None if args.static_dir == "none" else args.static_dir
+    httpd = serve(args.port, static_dir=sd)
     print(f"schema-guru webui API on http://127.0.0.1:{args.port}/upload")
     httpd.serve_forever()

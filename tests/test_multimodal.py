@@ -266,3 +266,92 @@ def test_avi_and_video_guards(spark):
                 spark.range(1).select(F.col("id").alias("doc_id")),
                 "doc_id"),
             id_col="doc_id", every_n=0)
+
+
+# -- JPEG codec (removes the last declared image stub) ----------------------
+
+
+def test_jpeg_flat_blocks_bit_exact():
+    """Flat 8x8-aligned blocks + unit quant table round-trip EXACTLY —
+    the property the analytic oracle of jpeg_decode_features relies on
+    (operators/jpeg.py docstring: DC is a power-of-two-exact float, AC
+    quantizes to zero)."""
+    import numpy as np
+    from schema_guru_spark.operators.jpeg import (
+        FLAT_QUANT, decode_jpeg, encode_jpeg)
+
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        bh, bw = rng.randint(1, 4), rng.randint(1, 5)
+        blocks = rng.randint(0, 256, (bh, bw, 3)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img, FLAT_QUANT)),
+                              img)
+    # grayscale too (1 component, no APP14)
+    img = np.repeat(np.repeat(
+        rng.randint(0, 256, (2, 3)).astype(np.uint8), 8, 0), 8, 1)
+    out = decode_jpeg(encode_jpeg(img, FLAT_QUANT))
+    assert out.shape == (16, 24, 1) and np.array_equal(out[:, :, 0], img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 20), w=st.integers(1, 20),
+       ch=st.sampled_from([1, 3]), seed=st.integers(0, 2**31 - 1))
+def test_jpeg_roundtrip_property_tolerance(h, w, ch, seed):
+    """Arbitrary content is LOSSY (coefficient rounding) but bounded:
+    with the unit quant table every pixel lands within a few levels of
+    the original, at any (including non-multiple-of-8) geometry."""
+    import numpy as np
+    from schema_guru_spark.operators.jpeg import (
+        FLAT_QUANT, decode_jpeg, encode_jpeg)
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(arr if ch == 3 else arr[:, :, 0],
+                                  FLAT_QUANT))
+    assert out.shape == (h, w, ch)
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 4
+
+
+def test_jpeg_codec_rejects_corruption_and_scope():
+    import numpy as np
+    import pytest as _pt
+    from schema_guru_spark.operators.jpeg import (
+        STD_QUANT, decode_jpeg, encode_jpeg)
+
+    arr = np.arange(16 * 8 * 3, dtype=np.uint8).reshape(16, 8, 3)
+    data = encode_jpeg(arr, STD_QUANT)
+    with _pt.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")          # not a JPEG
+    with _pt.raises(ValueError):
+        decode_jpeg(data[:25])                # truncated in a segment
+    with _pt.raises(ValueError):
+        decode_jpeg(data[:-4])                # truncated entropy stream
+    # declared out-of-scope: progressive (SOF2) raises loudly
+    prog = bytearray(data)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with _pt.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(prog))
+
+
+def test_real_jpeg_decode_features(spark):
+    """End-to-end through the media column: attach real baseline JPEGs
+    of the flat-block pattern, decode with the Spark operator, compare
+    to the analytically computed channel means."""
+    import numpy as np
+    from schema_guru_spark.operators import multimodal as MM
+
+    ids = spark.range(12).select(F.col("id").alias("doc_id"))
+    feats = MM.decode_and_featurize(
+        MM.attach_jpeg_media(ids, "doc_id"), id_col="doc_id").collect()
+    assert len(feats) == 12
+    for r in feats:
+        rid = r["id"]
+        wb, hb = MM.jpeg_dims(rid)
+        assert (r["width"], r["height"]) == (wb * 8, hb * 8)
+        bx = np.arange(wb)[None, :]
+        by = np.arange(hb)[:, None]
+        for ci, col in enumerate(["mean_r", "mean_g", "mean_b"]):
+            want = ((7 * bx + 13 * by + 29 * ci + 31 * rid) % 256).mean()
+            assert abs(r[col] - want) < 1e-9, (rid, col)

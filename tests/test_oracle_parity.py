@@ -137,3 +137,22 @@ def test_documents_fixture_sits_outside_banding_gap(ddb):
         "fixture no longer guarantees LSH recall — regenerate documents "
         "with a wider similarity gap or raise bands")
     assert n_true and n_true > 0, "fixture lost its true near-dup pairs"
+
+
+def test_embeddings_fixture_sits_outside_sign_lsh_gap(ddb):
+    """Same fixture-drift guard for the embedding near-dup oracle: its
+    parity relies on NO natural pair reaching the 0.9 exact-cosine
+    threshold (planted pairs sit at ~0.999, natural ceiling ~0.51). A
+    regenerated embeddings table that closes the gap fails HERE."""
+    (max_nat,) = ddb.sql("""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings)
+        SELECT max(list_inner_product(a.e, b.e)
+                   / (sqrt(list_inner_product(a.e, a.e))
+                      * sqrt(list_inner_product(b.e, b.e))))
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    """).fetchone()
+    assert max_nat < 0.6, (
+        f"natural max pair cosine {max_nat:.3f} encroaches on the 0.9 "
+        "near-dup threshold — regenerate embeddings with a wider gap or "
+        "raise the planted-pair similarity")

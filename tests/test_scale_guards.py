@@ -242,3 +242,104 @@ def test_uniqueness_hashed_128bit_screen(spark):
                                  "h1 long, h2 long")
     n = half.agg(F.count_distinct(F.struct("h1", "h2"))).collect()[0][0]
     assert n == 2
+
+
+def _shuffle_records_written(df) -> int:
+    """Sum of 'shuffle records written' across the executed plan's
+    exchanges — the ground truth for 'skew cannot concentrate data
+    movement' claims. Collect the df first; metrics exist only after
+    execution."""
+    ep = df._jdf.queryExecution().executedPlan()
+    try:
+        ep = ep.finalPhysicalPlan()
+    except Exception:
+        pass
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        name = node.getClass().getSimpleName()
+        if "ShuffleExchange" in name:
+            m = node.metrics()
+            it = m.keysIterator()
+            while it.hasNext():
+                k = it.next()
+                if "recordswritten" in k.lower().replace(" ", ""):
+                    total += m.apply(k).value()
+        # AQE wraps exchanges in QueryStageExec leaves; descend into the
+        # wrapped plan (and through reused stages/exchanges) or the walk
+        # sees no exchange at all
+        for attr in ("plan", "child"):
+            if "QueryStage" in name or "ReusedExchange" in name:
+                try:
+                    walk(getattr(node, attr)())
+                    break
+                except Exception:
+                    continue
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(ep)
+    return total
+
+
+def test_fd_check_hot_key_does_not_concentrate_shuffle(spark):
+    """VERDICT r02 #8 (FD side): 'a hot determinant costs the same as
+    any other key' — demonstrated by measuring actual shuffle records:
+    a 30%-hot key dataset must shuffle no more than a uniform dataset
+    with the same distinct structure, because partial aggregation
+    reduces each map task's contribution to its distinct (lhs, rhs)
+    pairs; the hot key's 60k raw rows never travel."""
+    n = 200_000
+
+    def run(hot: bool):
+        k = (F.when(F.pmod("id", 10) < 3, F.lit(0))
+              .otherwise(F.pmod("id", 20_000)) if hot
+             else F.pmod("id", 20_000))
+        # range(..., numPartitions=8): NO input exchange — the only
+        # shuffles measured are the aggregate's own
+        df = spark.range(0, n, 1, 8).select(
+            k.alias("k"),
+            # v varies WITHIN every key (id // 20000 parity), so the FD
+            # is violated everywhere in both datasets
+            F.pmod(F.floor(F.col("id") / 20_000), 2).alias("v"))
+        out = C.functional_dependency(df, ["k"], ["v"])
+        row = out.collect()[0]
+        assert row["holds"] is False        # every key maps to 2 values
+        return _shuffle_records_written(out)
+
+    w_hot, w_uniform = run(True), run(False)
+    assert w_hot > 0 and w_uniform > 0, "expected exchanges in the plan"
+    # hot must not exceed uniform by more than metric noise: skew adds
+    # ZERO shuffle volume. (Absolute volume is distinct-pairs x map
+    # tasks — the Expand of the distinct aggregate — for both.)
+    assert w_hot <= 1.2 * w_uniform, (w_hot, w_uniform)
+    # and neither plan ships raw rows twice over
+    assert w_hot < 2 * n, w_hot
+
+
+def test_drift_hot_partition_does_not_concentrate_shuffle(spark):
+    """VERDICT r02 #8 (drift side): a hot drift partition (60% of rows)
+    adds nothing to the shuffle — the per-(partition, bin) histogram is
+    partial-aggregated map-side, so exchange volume is bounded by
+    #partitions x n_bins x map tasks regardless of row skew."""
+    n = 200_000
+
+    def run(hot: bool):
+        p = (F.when(F.pmod("id", 10) < 6, F.lit("hot"))
+              .otherwise(F.concat(F.lit("p"), F.pmod("id", 7))) if hot
+             else F.concat(F.lit("p"), F.pmod("id", 8)))
+        df = spark.range(0, n, 1, 8).select(
+            p.alias("p"),
+            F.pmod("id", 1000).cast("double").alias("v"))
+        out = C.drift_by_partition(df, "v", "p", n_bins=10)
+        assert len(out.collect()) == 8
+        return _shuffle_records_written(out)
+
+    w_hot, w_uniform = run(True), run(False)
+    assert w_hot > 0 and w_uniform > 0
+    assert w_hot <= 1.2 * w_uniform, (w_hot, w_uniform)
+    # histogram rows (8 parts x 10 bins x 8 tasks) + tiny join frames —
+    # if the hot partition's 120k raw rows ever enter an exchange this
+    # explodes by orders of magnitude
+    assert w_hot < 10_000, w_hot

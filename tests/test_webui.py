@@ -97,5 +97,45 @@ def test_http_unknown_path_404(server):
 def test_http_index_served(server):
     with urllib.request.urlopen(f"{server}/") as resp:
         assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/html")
         body = resp.read().decode()
-    assert "/upload" in body and "<form" in body
+    assert "schema-guru" in body
+
+
+def test_static_tree_served_with_mime_types(server):
+    # reference parity: the webui serves a static asset tree
+    # (webui/src/main/resources/web) — ours is webui_static/, original
+    # implementation, correct Content-Type per extension
+    for path, ctype, marker in [
+        ("/index.html", "text/html", "schema-guru"),
+        ("/css/main.css", "text/css", "grid"),
+        ("/js/app.js", "text/javascript", "/upload"),
+    ]:
+        with urllib.request.urlopen(f"{server}{path}") as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith(ctype), \
+                (path, resp.headers["Content-Type"])
+            assert marker in resp.read().decode()
+
+
+def test_static_404_and_traversal_guard(server):
+    import urllib.error
+    for path in ["/nope.css", "/../webui.py", "/..%2fwebui.py"]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{server}{path}")
+        assert ei.value.code == 404, path
+
+
+def test_pure_api_mode_serves_inline_page():
+    import threading
+    from schema_guru_spark.webui import serve as _serve
+    httpd = _serve(0, static_dir=None)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/"
+        with urllib.request.urlopen(url) as resp:
+            body = resp.read().decode()
+        assert "/upload" in body and "<form" in body
+    finally:
+        httpd.shutdown()
