@@ -151,6 +151,9 @@ def psi(df: DataFrame, value_col: str, group_col: str,
             F.sum(F.when(F.col(group_col) == target, 1).otherwise(0)).alias("nt"),
         )
     )
+    # n_bins rows — materialize once; tot and terms both derive from it
+    # and would otherwise each re-scan the base table (4 scans total)
+    binned = binned.localCheckpoint()
     tot = binned.agg(F.sum("nb").alias("tb"), F.sum("nt").alias("tt"))
     terms = (
         binned.crossJoin(F.broadcast(tot))
@@ -463,8 +466,10 @@ def moment_drift_by_partition(df: DataFrame, value_col: str,
     """
     v = F.col(value_col).cast("bigint")
     sub = df.where(v.isNotNull())
+    # #parts rows — materialize once; glob and the output projection
+    # both derive from it (two base-table scans otherwise)
     per = sub.groupBy(F.col(part_col).alias("p")).agg(
-        *power_sum_aggs(value_col))
+        *power_sum_aggs(value_col)).localCheckpoint()
     glob = per.agg(F.sum("n").alias("n"), F.sum("s1").alias("s1"),
                    F.sum("s2").alias("s2"), F.sum("s3").alias("s3"),
                    F.sum("s4").alias("s4"))

@@ -101,7 +101,12 @@ def enum_candidates(df: DataFrame, column: str, cardinality: int) -> DataFrame:
     ``collect_set`` over the full domain before gating — unbounded state.)
     """
     c = F.col(column)
-    d = df.select(c.alias("v")).where(c.isNotNull()).distinct()
+    # the distinct reduction feeds BOTH the exact count and the capped
+    # collect; checkpoint so the base table is scanned (and the distinct
+    # shuffled) once, not twice. Blocks spill to disk per executor —
+    # still no single aggregation buffer holds the value set.
+    d = df.select(c.alias("v")).where(c.isNotNull()).distinct() \
+        .localCheckpoint()
     n = d.agg(F.count(F.lit(1)).alias("n_distinct"))
     capped = d.limit(cardinality + 1).agg(
         F.array_sort(F.collect_list("v")).alias("values"))
@@ -169,6 +174,9 @@ def duplicate_keys_distributed(df: DataFrame, column: str) -> DataFrame:
             F.explode(F.when(F.length("u") >= 1,
                              F.array_union(F.array(F.col("u")), deletions))
                       .otherwise(F.array(F.col("u")))))
+        # both self-join sides read this; without the checkpoint each
+        # side re-runs the base-table scan + distinct + explode
+        .localCheckpoint()
     )
     l, r = variants.alias("l"), variants.alias("r")
     return (
