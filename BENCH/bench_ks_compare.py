@@ -9,8 +9,11 @@ continuous-column case the distributed plan exists for), the serial
 window's single ordered task becomes the bottleneck and the distributed
 plan overtakes.
 
-Usage:  python BENCH/bench_ks_compare.py          # writes nothing
-        python BENCH/bench_ks_compare.py --write  # BENCH/REGRESSION_r03.md
+Usage:  python BENCH/bench_ks_compare.py          # prints only
+        python BENCH/bench_ks_compare.py --write  # BENCH/ks_compare_last_run.md
+(REGRESSION_r03.md is CURATED — seeded from a --write run, then extended
+with analysis and the headline-query table; --write deliberately targets
+a separate file so re-runs can't clobber it.)
 
 The serial implementation below is a verbatim test-only copy of the
 pre-c136e42 ks_two_sample (git show c136e42~1) — kept HERE, not in the
@@ -210,7 +213,7 @@ def main() -> None:
     ]
     if args.write:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "REGRESSION_r03.md")
+                           "ks_compare_last_run.md")
         with open(out, "w") as f:
             f.write("\n".join(lines))
         print(f"wrote {out}")

@@ -151,9 +151,9 @@ def psi(df: DataFrame, value_col: str, group_col: str,
             F.sum(F.when(F.col(group_col) == target, 1).otherwise(0)).alias("nt"),
         )
     )
-    # n_bins rows — materialize once; tot and terms both derive from it
-    # and would otherwise each re-scan the base table (4 scans total)
-    binned = binned.localCheckpoint()
+    # n_bins rows — materialize once (lazily); tot and terms both derive
+    # from it and would otherwise each re-scan the base table (4 scans)
+    binned = binned.localCheckpoint(eager=False)
     tot = binned.agg(F.sum("nb").alias("tb"), F.sum("nt").alias("tt"))
     terms = (
         binned.crossJoin(F.broadcast(tot))
@@ -206,8 +206,9 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
     # (boundaries, bucket subtotals, group totals, the windowed CDF) and
     # without the checkpoint each branch re-runs the raw-row aggregate —
     # measured 2.9x the serial plan's wall-clock at 583k distinct values
-    # purely from recompute (BENCH/REGRESSION_r03.md)
-    per_value = per_value.localCheckpoint()
+    # purely from recompute (BENCH/REGRESSION_r03.md). eager=False:
+    # construction stays side-effect-free; the first action materializes
+    per_value = per_value.localCheckpoint(eager=False)
     # LOGICAL range buckets: pid is a pure function of the value (count
     # of quantile boundaries below it), not a physical partition id — so
     # correctness never depends on exchange reuse or partitioner seeds.
@@ -235,7 +236,7 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
     # 3 at 6M distinct values)
     pid_tot = ranged.groupBy("pid").agg(F.sum("d1").alias("s1"),
                                         F.sum("d2").alias("s2")) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     a, b = pid_tot.alias("a"), pid_tot.alias("b")
     off = (a.join(b, F.col("b.pid") < F.col("a.pid"), "left")
            .groupBy(F.col("a.pid").alias("pid"))
@@ -282,10 +283,10 @@ def drift_by_partition(df: DataFrame, value_col: str, part_col: str,
         )
         .groupBy(part_col, "bin").agg(F.count(F.lit(1)).alias("n"))
     )
-    # #parts x n_bins rows — materialize once: FOUR consumers derive
-    # from it (terms directly, glob, gtot via glob, ptot) and without
-    # the checkpoint each consumer re-scans the base table
-    binned = binned.localCheckpoint()
+    # #parts x n_bins rows — materialize once (lazily): FOUR consumers
+    # derive from it (terms directly, glob, gtot via glob, ptot) and
+    # without the checkpoint each consumer re-scans the base table
+    binned = binned.localCheckpoint(eager=False)
     glob = binned.groupBy("bin").agg(F.sum("n").alias("gn"))
     gtot = glob.agg(F.sum("gn").alias("gt"))
     ptot = binned.groupBy(part_col).agg(F.sum("n").alias("pt_n"))
@@ -469,7 +470,7 @@ def moment_drift_by_partition(df: DataFrame, value_col: str,
     # #parts rows — materialize once; glob and the output projection
     # both derive from it (two base-table scans otherwise)
     per = sub.groupBy(F.col(part_col).alias("p")).agg(
-        *power_sum_aggs(value_col)).localCheckpoint()
+        *power_sum_aggs(value_col)).localCheckpoint(eager=False)
     glob = per.agg(F.sum("n").alias("n"), F.sum("s1").alias("s1"),
                    F.sum("s2").alias("s2"), F.sum("s3").alias("s3"),
                    F.sum("s4").alias("s4"))

@@ -321,6 +321,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker == 0xDB:                       # DQT
             i = 0
             while i < len(body):
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT")
                 pq, tq = body[i] >> 4, body[i] & 0xF
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
@@ -331,9 +333,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC4:                     # DHT
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated DHT header")
                 cls, tid = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1:i + 17])
                 nv = sum(bits)
+                if i + 17 + nv > len(body):
+                    raise ValueError("truncated DHT values")
                 vals = list(body[i + 17:i + 17 + nv])
                 huff[(cls, tid)] = _decode_table(bits, vals)
                 i += 17 + nv
@@ -360,6 +366,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:                     # DRI
             raise NotImplementedError("restart intervals")
         elif marker == 0xDA:                     # SOS
+            if not body or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated SOS")
             ns = body[0]
             scan_comps = [(body[1 + 2 * c], body[2 + 2 * c] >> 4,
                            body[2 + 2 * c] & 0xF) for c in range(ns)]

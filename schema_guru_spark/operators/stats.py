@@ -101,12 +101,13 @@ def enum_candidates(df: DataFrame, column: str, cardinality: int) -> DataFrame:
     ``collect_set`` over the full domain before gating — unbounded state.)
     """
     c = F.col(column)
-    # the distinct reduction feeds BOTH the exact count and the capped
-    # collect; checkpoint so the base table is scanned (and the distinct
-    # shuffled) once, not twice. Blocks spill to disk per executor —
-    # still no single aggregation buffer holds the value set.
-    d = df.select(c.alias("v")).where(c.isNotNull()).distinct() \
-        .localCheckpoint()
+    # NOT checkpointed, deliberately: materializing the distinct frame
+    # would store the column's entire distinct domain in executor
+    # blocks — O(distinct) storage, exactly the unbounded state this
+    # function's design exists to avoid (a near-unique column at
+    # 10^12 rows would spill TBs to save one re-scan). The two scans
+    # (count + limit K+1) keep state bounded at K+1 values.
+    d = df.select(c.alias("v")).where(c.isNotNull()).distinct()
     n = d.agg(F.count(F.lit(1)).alias("n_distinct"))
     capped = d.limit(cardinality + 1).agg(
         F.array_sort(F.collect_list("v")).alias("values"))
@@ -175,8 +176,10 @@ def duplicate_keys_distributed(df: DataFrame, column: str) -> DataFrame:
                              F.array_union(F.array(F.col("u")), deletions))
                       .otherwise(F.array(F.col("u")))))
         # both self-join sides read this; without the checkpoint each
-        # side re-runs the base-table scan + distinct + explode
-        .localCheckpoint()
+        # side re-runs the base-table scan + distinct + explode.
+        # eager=False keeps DataFrame construction side-effect-free —
+        # the first action materializes it
+        .localCheckpoint(eager=False)
     )
     l, r = variants.alias("l"), variants.alias("r")
     return (

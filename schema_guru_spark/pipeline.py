@@ -86,36 +86,64 @@ def materialize_bucketed(df: DataFrame, path: str, n_buckets: int = 64,
     """
     (df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
        .write.mode("overwrite").partitionBy("bucket").parquet(path))
-    import os
-    with open(os.path.join(path, _LAYOUT_SIDECAR), "w") as f:
-        json.dump({"n_buckets": n_buckets, "n_salts": n_salts,
-                   "bucket_expr_version": _BUCKET_EXPR_VERSION}, f)
+    # write through the Hadoop FileSystem API so the sidecar lands next
+    # to the data on ANY scheme the parquet write supports (s3a://,
+    # hdfs://, file:) — a local open() would crash on object-store paths
+    # right after the table was written
+    spark = df.sparkSession
+    payload = json.dumps({"n_buckets": n_buckets, "n_salts": n_salts,
+                          "bucket_expr_version": _BUCKET_EXPR_VERSION})
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path, _LAYOUT_SIDECAR)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def _find_layout_sidecar(df: DataFrame) -> Optional[dict]:
     """Locate the ``_layout.json`` next to the DataFrame's input files
-    (bucket=N partition dirs sit one level below the table root). Returns
-    None for non-file sources or layouts written without a sidecar."""
-    import os
+    (bucket=N partition dirs sit one level below the table root),
+    through the Hadoop FileSystem API so any scheme the scan can read
+    works. Returns None for non-file sources or layouts written without
+    a sidecar."""
     try:
         files = df.inputFiles()
     except Exception:
         return None
     if not files:
         return None
-    first = files[0]
-    if first.startswith("file:"):
-        first = first[len("file:"):]
-    d = os.path.dirname(first)
-    for _ in range(3):   # part file -> bucket=N -> table root
-        cand = os.path.join(d, _LAYOUT_SIDECAR)
-        if os.path.exists(cand):
-            with open(cand) as f:
-                return json.load(f)
-        parent = os.path.dirname(d)
-        if parent == d:
-            break
-        d = parent
+    spark = df.sparkSession
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(files[0]).getParent()
+        for _ in range(3):   # part file dir -> bucket=N -> table root
+            if p is None:
+                break
+            cand = jvm.org.apache.hadoop.fs.Path(p, _LAYOUT_SIDECAR)
+            fs = cand.getFileSystem(conf)
+            if fs.exists(cand):
+                # byte-at-a-time through the FS stream: the file is
+                # ~80 bytes, and spark.read can't see it (underscore
+                # prefix = hidden to Spark's FileIndex, by design — the
+                # sidecar must NOT be picked up as table data)
+                stream = fs.open(cand)
+                try:
+                    data = bytearray()
+                    for _ in range(65536):
+                        b = stream.read()
+                        if b == -1:
+                            break
+                        data.append(b)
+                finally:
+                    stream.close()
+                return json.loads(data.decode("utf-8"))
+            p = p.getParent()
+    except Exception:
+        return None
     return None
 
 

@@ -67,6 +67,9 @@ def main(argv=None) -> dict:
                       shuffle_partitions=max(args.cpus, 8))
 
     if args.synthesize:
+        if args.snapshot_id is not None:
+            ap.error("--snapshot-id requires --table (a synthesized "
+                     "parquet table has no snapshot lineage)")
         # materialize to parquet first: the validated workload must READ
         # a table (as in production), not re-run the generator per job
         import tempfile

@@ -160,8 +160,13 @@ class SchemaGuruHandler(BaseHTTPRequestHandler):
     def _serve_static(self):
         import mimetypes
         import os
+        import urllib.parse
 
-        rel = self.path.split("?", 1)[0].lstrip("/") or "index.html"
+        # decode BEFORE the containment check: percent-encoded names
+        # must resolve (browsers encode spaces/UTF-8), and an encoded
+        # ../ must still be caught by the realpath guard below
+        rel = urllib.parse.unquote(
+            self.path.split("?", 1)[0]).lstrip("/") or "index.html"
         # traversal guard: resolve and require containment in the root
         root = os.path.realpath(self.static_dir)
         full = os.path.realpath(os.path.join(root, rel))

@@ -333,6 +333,14 @@ def test_jpeg_codec_rejects_corruption_and_scope():
     prog[sof + 1] = 0xC2
     with _pt.raises(NotImplementedError, match="baseline"):
         decode_jpeg(bytes(prog))
+    # truncation INSIDE a DHT segment's bits table must keep the
+    # ValueError contract (was IndexError — r03 review finding)
+    import struct
+    cut = bytearray(data)
+    i = bytes(cut).find(b"\xff\xc4")
+    cut[i + 2:i + 4] = struct.pack(">H", 10)
+    with _pt.raises(ValueError, match="DHT"):
+        decode_jpeg(bytes(cut))
 
 
 def test_real_jpeg_decode_features(spark):

@@ -120,10 +120,15 @@ def test_static_tree_served_with_mime_types(server):
 
 def test_static_404_and_traversal_guard(server):
     import urllib.error
-    for path in ["/nope.css", "/../webui.py", "/..%2fwebui.py"]:
+    for path in ["/nope.css", "/../webui.py", "/..%2fwebui.py",
+                 "/%2e%2e/webui.py"]:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(f"{server}{path}")
         assert ei.value.code == 404, path
+    # percent-encoded names of REAL files must resolve (r03 review):
+    # css%2Fmain.css decodes to the existing css/main.css
+    with urllib.request.urlopen(f"{server}/css%2Fmain.css") as resp:
+        assert resp.status == 200
 
 
 def test_pure_api_mode_serves_inline_page():
