@@ -382,6 +382,35 @@ def q_embedding_neardup_pairs(spark, sf):
             .orderBy("id_a", "id_b")
 
 
+def q_knn_join_embeddings(spark, sf):
+    # k-NN join face of the similarity family (previously pytest-only):
+    # top-3 right neighbors per left vector by exact cosine. Broadcast
+    # crossJoin + window top-k — explicitly gated behind IVF bucketing
+    # at scale (similarity.py docstring); the oracle is the same
+    # all-pairs ranking in SQL.
+    emb = _t(spark, sf, "embeddings")
+    left = emb.where(F.col("vec_id") < 20)
+    right = emb.where(F.col("vec_id") >= 20)
+    return SIM.pairwise_topk_join(left, right, "embedding", "vec_id", k=3)
+
+
+def q_dedup_keep_list_docs(spark, sf):
+    # the training-data dedup END PRODUCT: per near-dup cluster keep the
+    # min-id representative, emit every doc with its keep/drop verdict
+    # (docs in no cluster keep themselves). Derived from the same
+    # verified-pair + connected-components plan the cluster oracle pins.
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    pairs = D.minhash_verified_pairs(docs, "doc_id", "text", threshold=0.6)
+    clusters = D.near_duplicate_clusters(pairs)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    return (ids.join(clusters, "id", "left")
+            .select("id",
+                    F.coalesce("cluster_id", "id").alias("cluster_id"),
+                    (F.coalesce("cluster_id", "id") == F.col("id"))
+                    .alias("keep"))
+            .orderBy("id"))
+
+
 def q_fingerprint_winnow_docs(spark, sf):
     return TS.fingerprints(_t(spark, sf, "documents"), "text", "doc_id") \
              .select("id", "winnow_min", "winnow_fps")
@@ -520,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "knn_join_embeddings": q_knn_join_embeddings,
+        "dedup_keep_list_docs": q_dedup_keep_list_docs,
         "fingerprint_winnow_docs": q_fingerprint_winnow_docs,
         "infer_string_annotations": q_infer_string_annotations,
         "infer_top_keys": q_infer_top_keys,
@@ -1240,6 +1271,42 @@ def oracle_sql() -> dict[str, str]:
               FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, round(c, 6) AS cosine
             FROM pairs WHERE c >= 0.9 ORDER BY id_a, id_b
+        """,
+        "knn_join_embeddings": """
+            WITH l AS (SELECT vec_id AS id_l, embedding::DOUBLE[] AS e
+                       FROM embeddings WHERE vec_id < 20),
+            r AS (SELECT vec_id AS id_r, embedding::DOUBLE[] AS e
+                  FROM embeddings WHERE vec_id >= 20),
+            scored AS (
+              SELECT id_l, id_r,
+                     round(list_inner_product(l.e, r.e)
+                           / (sqrt(list_inner_product(l.e, l.e))
+                              * sqrt(list_inner_product(r.e, r.e))
+                              + 1e-12), 6) AS cosine
+              FROM l CROSS JOIN r),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY id_l ORDER BY cosine DESC, id_r) AS rn
+              FROM scored)
+            SELECT id_l, id_r, cosine FROM ranked WHERE rn <= 3
+            ORDER BY id_l, cosine DESC, id_r
+        """,
+        "dedup_keep_list_docs": f"""
+            WITH RECURSIVE {_CHAR_JACCARD_PAIRS_CTE},
+            edges AS (
+              SELECT id_a AS s, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT DISTINCT s AS id, s AS r FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+            clusters AS (SELECT id, min(r) AS cluster_id
+                         FROM reach GROUP BY id),
+            ids AS (SELECT DISTINCT id FROM d)
+            SELECT i.id,
+                   coalesce(c.cluster_id, i.id)::BIGINT AS cluster_id,
+                   coalesce(c.cluster_id, i.id) = i.id AS keep
+            FROM ids i LEFT JOIN clusters c USING (id) ORDER BY i.id
         """,
         "fingerprint_winnow_docs": r"""
             WITH d AS (SELECT doc_id AS id,
