@@ -146,7 +146,13 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None or channels is None:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # keep the ValueError contract: corrupt-but-CRC-valid streams
+        # (or multi-flip corruption that repairs the CRC) must not leak
+        # zlib.error to callers
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("decompressed size mismatch")

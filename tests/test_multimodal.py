@@ -363,3 +363,45 @@ def test_real_jpeg_decode_features(spark):
         for ci, col in enumerate(["mean_r", "mean_g", "mean_b"]):
             want = ((7 * bx + 13 * by + 29 * ci + 31 * rid) % 256).mean()
             assert abs(r[col] - want) < 1e-9, (rid, col)
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n_flips=st.integers(1, 8))
+def test_codec_fuzz_contract(seed, n_flips):
+    """Robustness contract under arbitrary corruption: every decoder
+    either succeeds or raises ValueError / NotImplementedError — never
+    IndexError / struct.error / KeyError / numpy errors. (The media
+    column feeds decoders bytes sniffed only by magic prefix, so a
+    corrupt payload must not kill an executor with an uncontracted
+    exception.)"""
+    import numpy as np
+    from schema_guru_spark.operators.avi import decode_avi_rgb, encode_avi_rgb
+    from schema_guru_spark.operators.jpeg import (
+        FLAT_QUANT, decode_jpeg, encode_jpeg)
+    from schema_guru_spark.operators.png import decode_png, encode_png
+    from schema_guru_spark.operators.wav import decode_wav, encode_wav
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+    frames = rng.randint(0, 256, (2, 5, 6, 3)).astype(np.uint8)
+    samples = rng.randint(-1000, 1000, 300).astype(np.int16)
+    payloads = [
+        (decode_png, encode_png(img, 2)),
+        (decode_jpeg, encode_jpeg(img, FLAT_QUANT)),
+        (decode_wav, encode_wav(samples, 8000)),
+        (decode_avi_rgb, encode_avi_rgb(frames, fps=10)),
+    ]
+    for decode, data in payloads:
+        buf = bytearray(data)
+        for _ in range(n_flips):
+            op = rng.randint(3)
+            if op == 0 and len(buf) > 4:          # flip a byte
+                buf[rng.randint(len(buf))] ^= 1 << rng.randint(8)
+            elif op == 1 and len(buf) > 8:        # truncate
+                del buf[rng.randint(4, len(buf)):]
+            else:                                 # append noise
+                buf.extend(rng.bytes(rng.randint(1, 16)))
+        try:
+            decode(bytes(buf))
+        except (ValueError, NotImplementedError):
+            pass   # the contract
