@@ -53,22 +53,31 @@ def accumulate(acc: dict, value: Any, ctx: SchemaContext) -> dict:
     TypeError like the pure path."""
     t = value.__class__
     if t is str:
-        fmt = suggest_format(value)
-        pat = suggest_base64(value, ctx.quantity)
         ln = len(value) if ctx.derive_length else None
         st = acc.get("str")
         if st is None:
             acc["str"] = {
-                "format": fmt, "pattern": pat,
+                "format": suggest_format(value),
+                "pattern": suggest_base64(value, ctx.quantity),
                 "min_len": ln, "max_len": ln,
                 "enum": construct_enum(value, ctx),
             }
         else:
             # inlined _eq_or_none / _min_or_none / _max_or_none
-            # (JsonSchema.scala:141-163 None-absorbing semantics)
-            if st["format"] != fmt:
+            # (JsonSchema.scala:141-163 None-absorbing semantics).
+            # TOMBSTONE SKIP: once format/pattern has merged to None it
+            # can never leave None (eq-or-none absorbs), so the
+            # detector chain is skipped entirely — on heterogeneous
+            # string keys (most keys in real corpora tombstone on the
+            # first disagreeing doc) this removes the regex/prefilter
+            # work from the per-doc hot loop. Exactly equivalent: the
+            # old code computed fmt and then set None either way.
+            fmt_cur = st["format"]
+            if fmt_cur is not None and fmt_cur != suggest_format(value):
                 st["format"] = None
-            if st["pattern"] != pat:
+            pat_cur = st["pattern"]
+            if pat_cur is not None and \
+                    pat_cur != suggest_base64(value, ctx.quantity):
                 st["pattern"] = None
             ml = st["min_len"]
             if ml is None or ln is None:
@@ -80,7 +89,9 @@ def accumulate(acc: dict, value: Any, ctx: SchemaContext) -> dict:
                 st["max_len"] = None
             elif ln > mx:
                 st["max_len"] = ln
-            st["enum"] = merge_enums(st["enum"], construct_enum(value, ctx), ctx)
+            if not ctx.enum_disabled:
+                st["enum"] = merge_enums(st["enum"],
+                                         construct_enum(value, ctx), ctx)
         return acc
     if t is dict:
         obj = acc.get("obj")
@@ -96,14 +107,18 @@ def accumulate(acc: dict, value: Any, ctx: SchemaContext) -> dict:
             accumulate(child, v, ctx)
         return acc
     if t is int:
-        en = construct_enum(value, ctx)
+        # enum machinery skipped entirely when it can never fire
+        # (cardinality 0, no predefined sets) — ctx.enum_disabled is a
+        # cached flag, construct_enum/merge_enums are no-ops then
+        en = None if ctx.enum_disabled else construct_enum(value, ctx)
         num = acc.get("num")
         if num is not None:
             # int ⊕ num -> num, value widened (NumberSchema.scala:54-61).
             v = float(value)
             num["min"] = _min_or_none(num["min"], v)
             num["max"] = _max_or_none(num["max"], v)
-            num["enum"] = merge_enums(en, num["enum"], ctx)
+            if en is not None or num["enum"] is not None:
+                num["enum"] = merge_enums(en, num["enum"], ctx)
             return acc
         it = acc.get("int")
         if it is None:
@@ -115,7 +130,8 @@ def accumulate(acc: dict, value: Any, ctx: SchemaContext) -> dict:
             mx = it["max"]
             if mx is not None and value > mx:
                 it["max"] = value
-            it["enum"] = merge_enums(it["enum"], en, ctx)
+            if en is not None or it["enum"] is not None:
+                it["enum"] = merge_enums(it["enum"], en, ctx)
         return acc
     if t is bool:
         acc["bool"] = True

@@ -75,6 +75,13 @@ class SchemaContext:
     derive_length: bool = True
     strict_reference_product: bool = False
 
+    @cached_property
+    def enum_disabled(self) -> bool:
+        """True when no enum machinery can ever produce a candidate
+        (cardinality 0, no predefined sets) — the hot accumulate path
+        skips construct_enum/merge_enums entirely then."""
+        return self.enum_cardinality == 0 and not self.enum_sets
+
     @staticmethod
     def make(enum_cardinality: int = 0, enum_sets=None, quantity=None,
              derive_length: bool = True,
