@@ -151,7 +151,15 @@ def test_accumulate_equals_derive_merge(docs):
     the exact state of the pure derive+merge fold — for plain, enum, and
     tight-cardinality contexts."""
     from schema_guru_spark.core.accumulate import accumulate_doc
-    for ctx in (CTX, CTX_ENUM, SchemaContext.make(1)):
+    # the context sweep must include enum_sets-with-cardinality-0 and a
+    # known quantity: those keep ctx.enum_disabled False / gate base64,
+    # exercising the hot path's guarded branches (r03 review finding —
+    # the enum-guard and tombstone-skip cuts are only equivalent if
+    # these branches still run when they CAN matter)
+    for ctx in (CTX, CTX_ENUM, SchemaContext.make(1),
+                SchemaContext.make(0, enum_sets=[["a", "b", 1, True]]),
+                SchemaContext.make(0, quantity=5),
+                SchemaContext.make(2, enum_sets=[["x", "y"]], quantity=20)):
         pure = ZERO
         for d in docs:
             pure = merge(pure, derive(d, ctx)[0], ctx)
