@@ -200,6 +200,29 @@ def q_fingerprint_md5_docs(spark, sf):
              .select("id", "content_md5")
 
 
+def q_repetition_docs(spark, sf):
+    # Gopher-style within-doc repetition signals (dup n-gram fractions,
+    # top-bigram share) — pure per-row array expressions, zero shuffle
+    return TS.repetition_signals(_t(spark, sf, "documents"),
+                                 "text", "doc_id")
+
+
+def q_contamination_docs(spark, sf):
+    # benchmark decontamination: corpus docs (id >= 5) screened against
+    # a broadcast benchmark gram set built from docs 0-4
+    docs = _t(spark, sf, "documents")
+    return TS.contamination_check(
+        docs.where(F.col("doc_id") >= 5), docs.where(F.col("doc_id") < 5),
+        "text", "doc_id", n=5)
+
+
+def q_dup_span_census_docs(spark, sf):
+    # cross-document duplicated word-8-gram census (C4-style span-dedup
+    # discovery pass): one shuffle keyed by span
+    return TS.interdoc_span_census(_t(spark, sf, "documents"),
+                                   "text", "doc_id", k=8)
+
+
 def q_cosine_topk_embeddings(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
@@ -533,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": q_lang_id_docs,
         "quality_docs": q_quality_docs,
         "pii_docs": q_pii_docs,
+        "repetition_docs": q_repetition_docs,
+        "contamination_docs": q_contamination_docs,
+        "dup_span_census_docs": q_dup_span_census_docs,
         "fingerprint_md5_docs": q_fingerprint_md5_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "drift_price_by_returnflag": q_drift_price_by_returnflag,
@@ -898,6 +924,73 @@ def oracle_sql() -> dict[str, str]:
                        '(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}')) AS n_ipv4,
                    (n_email + n_phone + n_ssn + n_ipv4) > 0 AS has_pii
             FROM documents ORDER BY id
+        """,
+        "repetition_docs": r"""
+            WITH w AS (
+              SELECT doc_id AS id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents),
+            g AS (
+              SELECT id, len(words)::INT AS n_words,
+                     list_transform(generate_series(1, len(words)-1),
+                       i -> array_to_string(words[i:i+1], ' ')) AS g2,
+                     list_transform(generate_series(1, len(words)-2),
+                       i -> array_to_string(words[i:i+2], ' ')) AS g3
+              FROM w),
+            top AS (
+              SELECT id, max(cnt) AS top_n FROM (
+                SELECT id, gram, count(*) AS cnt
+                FROM (SELECT id, unnest(g2) AS gram FROM g) GROUP BY 1, 2)
+              GROUP BY 1)
+            SELECT g.id, n_words, len(g2)::INT AS n_2grams,
+                   CASE WHEN len(g2) > 0
+                        THEN round(1 - len(list_distinct(g2))/len(g2), 6)
+                        ELSE 0.0 END AS dup_2gram_frac,
+                   CASE WHEN len(g3) > 0
+                        THEN round(1 - len(list_distinct(g3))/len(g3), 6)
+                        ELSE 0.0 END AS dup_3gram_frac,
+                   coalesce(top_n, 0)::INT AS top_2gram_n,
+                   CASE WHEN len(g2) > 0
+                        THEN round(coalesce(top_n, 0)/len(g2), 6)
+                        ELSE 0.0 END AS top_2gram_frac
+            FROM g LEFT JOIN top ON g.id = top.id ORDER BY g.id
+        """,
+        "contamination_docs": r"""
+            WITH w AS (
+              SELECT doc_id AS id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents),
+            g AS (
+              SELECT id, list_distinct(list_transform(
+                       generate_series(1, len(words)-4),
+                       i -> array_to_string(words[i:i+4], ' '))) AS g5
+              FROM w),
+            bench AS (SELECT DISTINCT unnest(g5) AS gram FROM g WHERE id < 5),
+            dg AS (SELECT id, unnest(g5) AS gram FROM g WHERE id >= 5),
+            hits AS (SELECT id, count(*) AS n_cont
+                     FROM dg JOIN bench USING (gram) GROUP BY 1)
+            SELECT g.id, len(g5)::INT AS n_grams,
+                   coalesce(n_cont, 0)::INT AS n_contaminated,
+                   round(coalesce(n_cont, 0)/greatest(len(g5), 1), 6)
+                     AS contam_frac,
+                   coalesce(n_cont, 0) > 0 AS contaminated
+            FROM g LEFT JOIN hits ON g.id = hits.id
+            WHERE g.id >= 5 ORDER BY g.id
+        """,
+        "dup_span_census_docs": r"""
+            WITH w AS (
+              SELECT doc_id AS id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents),
+            e AS (
+              SELECT id, unnest(list_transform(
+                       generate_series(1, len(words)-7),
+                       i -> array_to_string(words[i:i+7], ' '))) AS span
+              FROM w)
+            SELECT span, count(DISTINCT id)::INT AS n_docs,
+                   count(*)::INT AS n_total
+            FROM e GROUP BY span HAVING count(DISTINCT id) >= 2
+            ORDER BY span
         """,
         "fingerprint_md5_docs": r"""
             SELECT doc_id AS id,

@@ -166,3 +166,136 @@ def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "has_pii",
         (F.col("n_email") + F.col("n_phone") + F.col("n_ssn")
          + F.col("n_ipv4")) > 0)
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings, built entirely JVM-side:
+    transform over an index sequence + slice + concat_ws. Empty array
+    (never partial grams) when the document has < n words."""
+    cnt = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(cnt > 0, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def repetition_signals(df: DataFrame, text_col: str,
+                       id_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    Table A1) over word n-grams:
+
+      dup_2gram_frac / dup_3gram_frac — fraction of word 2-/3-grams that
+          are repeats of an earlier gram (1 - distinct/total)
+      top_2gram_n / top_2gram_frac — occurrence count of the most
+          frequent 2-gram and its share of all 2-grams (we use the
+          count share, not Gopher's character share, so ties between
+          equal-count grams of different lengths stay deterministic)
+
+    100 TB story: zero shuffle — every signal is a per-row array
+    expression (sort + run-length scan via ``aggregate``), so the
+    operator is embarrassingly parallel and pipelines with the scan.
+    The run-length scan makes the top-gram count O(g log g) per doc
+    instead of the O(g^2) per-distinct-gram filter count.
+    """
+    words = _words(F.col(text_col))
+    g2, g3 = _word_ngrams(words, 2), _word_ngrams(words, 3)
+
+    def dup_frac(g: Column) -> Column:
+        return F.when(
+            F.size(g) > 0,
+            F.round(F.lit(1) - F.size(F.array_distinct(g)) / F.size(g), 6),
+        ).otherwise(F.lit(0.0))
+
+    # most-frequent-gram count = longest run in the sorted gram array
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top_n = F.aggregate(F.array_sort(g2), zero, step,
+                        lambda acc: acc["best"])
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.size(words).alias("n_words"),
+        F.size(g2).alias("n_2grams"),
+        dup_frac(g2).alias("dup_2gram_frac"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+        top_n.alias("top_2gram_n"),
+    )
+    return out.select(
+        "*",
+        F.when(F.col("n_2grams") > 0,
+               F.round(F.col("top_2gram_n") / F.col("n_2grams"), 6))
+         .otherwise(F.lit(0.0)).alias("top_2gram_frac"),
+    ).orderBy("id")
+
+
+def contamination_check(docs: DataFrame, bench: DataFrame, text_col: str,
+                        id_col: str, bench_text_col: str = None,
+                        n: int = 13) -> DataFrame:
+    """Benchmark decontamination (the n-gram overlap screen of GPT-3
+    appendix C / FLAN: flag training documents sharing any word n-gram
+    with an evaluation set). Returns per-document distinct-gram totals,
+    contaminated-gram counts, the contaminated fraction, and a flag.
+
+    100 TB story: the benchmark side is tiny by construction (eval sets
+    are millions of grams at most), so its distinct gram set is
+    BROADCAST — the corpus side never shuffles its grams; the only
+    exchange is the per-doc hit count keyed by id, partial-aggregated
+    map-side. Documents explode only their DISTINCT grams, bounding the
+    join input at sum(|distinct grams per doc|).
+    """
+    bench_text_col = bench_text_col or text_col
+    dg = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(
+            _word_ngrams(_words(F.col(text_col)), n))).alias("gram"))
+    bg = (bench.select(F.explode(F.array_distinct(
+              _word_ngrams(_words(F.col(bench_text_col)), n)))
+          .alias("gram")).distinct())
+    hits = (dg.join(F.broadcast(bg), "gram")
+              .groupBy("id").agg(F.count("*").alias("hits")))
+    totals = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(
+            _word_ngrams(_words(F.col(text_col)), n))).alias("n_grams"))
+    return (totals.join(hits, "id", "left")
+            .select(
+                "id", "n_grams",
+                F.coalesce(F.col("hits"), F.lit(0)).alias("n_contaminated"),
+                F.round(F.coalesce(F.col("hits"), F.lit(0))
+                        / F.greatest(F.col("n_grams"), F.lit(1)), 6)
+                 .alias("contam_frac"),
+                (F.coalesce(F.col("hits"), F.lit(0)) > 0)
+                 .alias("contaminated"))
+            .orderBy("id"))
+
+
+def interdoc_span_census(docs: DataFrame, text_col: str, id_col: str,
+                         k: int = 8, min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicated-span census: every word k-gram that
+    appears in >= min_docs distinct documents, with its document reach
+    and total occurrence count — the discovery pass that precedes
+    C4-style duplicated-span removal (Raffel et al. 2020 dedup the
+    corpus at three-sentence granularity; word-k-gram spans are the
+    language-agnostic analogue).
+
+    100 TB story: one shuffle, keyed by span, with map-side partial
+    aggregation; count(distinct id) is the standard two-phase expand.
+    The min_docs filter runs post-aggregate (HAVING), so output is
+    bounded by the genuinely-shared span set; deployments raise
+    min_docs (or add a doc-frequency cap, cf. the minhash verify stage)
+    when boilerplate makes even that set large.
+    """
+    spans = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_ngrams(_words(F.col(text_col)), k)).alias("span"))
+    return (spans.groupBy("span")
+            .agg(F.count_distinct("id").alias("n_docs"),
+                 F.count("*").alias("n_total"))
+            .where(F.col("n_docs") >= min_docs)
+            .orderBy("span"))

@@ -79,3 +79,81 @@ def test_pii_scan_detects_planted_pii(spark):
     assert not rows[5]["has_pii"]
     assert all(rows[5][c] == 0 for c in
                ("n_email", "n_phone", "n_ssn", "n_ipv4"))
+
+
+def test_repetition_signals_planted(spark):
+    df = spark.createDataFrame([
+        # "a b" appears 3x among 5 bigrams; 3-gram "a b a" twice
+        (1, "a b a b a b"),
+        # no repeats at all
+        (2, "one two three four"),
+        # too short for any bigram
+        (3, "solo"),
+        (4, ""),
+    ], ["id", "text"])
+    out = {r["id"]: r for r in
+           TS.repetition_signals(df, "text", "id").collect()}
+    assert out[1]["n_2grams"] == 5
+    assert out[1]["top_2gram_n"] == 3           # "a b" x3
+    assert out[1]["top_2gram_frac"] == 0.6
+    assert out[1]["dup_2gram_frac"] == 0.6      # 5 grams, 2 distinct
+    assert out[1]["dup_3gram_frac"] == 0.5      # 4 grams, 2 distinct
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[2]["top_2gram_n"] == 1
+    assert out[3]["n_2grams"] == 0 and out[3]["top_2gram_n"] == 0
+    assert out[3]["dup_2gram_frac"] == 0.0
+    assert out[4]["n_2grams"] == 0 and out[4]["top_2gram_frac"] == 0.0
+
+
+def test_repetition_signals_zero_shuffle(spark):
+    """Every signal is a per-row expression: the plan must contain no
+    exchange besides the orderBy's range partitioning."""
+    df = spark.createDataFrame([(1, "a b a b")], ["id", "text"])
+    plan = TS.repetition_signals(df, "text", "id") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_contamination_check_planted(spark):
+    docs = spark.createDataFrame([
+        (10, "alpha beta gamma delta epsilon zeta"),   # contains bench gram
+        (11, "totally different words here now folks"),
+        (12, "alpha beta gamma delta epsilon eta theta"),
+    ], ["id", "text"])
+    bench = spark.createDataFrame(
+        [(0, "prefix alpha beta gamma delta epsilon suffix")],
+        ["id", "text"])
+    out = {r["id"]: r for r in
+           TS.contamination_check(docs, bench, "text", "id", n=5).collect()}
+    assert out[10]["contaminated"] and out[10]["n_contaminated"] == 1
+    assert out[12]["contaminated"]                 # shares the 5-gram
+    assert not out[11]["contaminated"] and out[11]["n_contaminated"] == 0
+    assert out[11]["contam_frac"] == 0.0
+    # totals are distinct-gram counts
+    assert out[10]["n_grams"] == 2
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f")], ["id", "text"])
+    bench = spark.createDataFrame([(0, "a b c d e")], ["id", "text"])
+    plan = TS.contamination_check(docs, bench, "text", "id", n=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_interdoc_span_census(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame([
+        (1, shared + " tail1"),
+        (2, "head2 " + shared),
+        (3, "nothing in common with anyone else at all"),
+        # doc 4 contains the span twice: n_total counts occurrences
+        (4, shared + " " + shared),
+    ], ["id", "text"])
+    rows = TS.interdoc_span_census(docs, "text", "id", k=8).collect()
+    by_span = {r["span"]: r for r in rows}
+    assert shared in by_span
+    assert by_span[shared]["n_docs"] == 3
+    assert by_span[shared]["n_total"] == 4
+    # nothing from doc 3 leaks in
+    assert all("nothing" not in s for s in by_span)
