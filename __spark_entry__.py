@@ -223,6 +223,26 @@ def q_dup_span_census_docs(spark, sf):
                                    "text", "doc_id", k=8)
 
 
+def q_curation_docs(spark, sf):
+    # end-product keep/drop verdict with reason codes, composing quality,
+    # repetition caps, lang allow-list, PII, and benchmark contamination
+    # (docs 0-4 as the broadcast benchmark set); thresholds chosen to
+    # exercise every reason code on the fixture
+    docs = _t(spark, sf, "documents")
+    return TS.curation_report(
+        docs.where(F.col("doc_id") >= 5), "text", "doc_id",
+        bench=docs.where(F.col("doc_id") < 5), contamination_n=5,
+        quality_min=0.75, dup3_max=0.01, top2_max=0.06,
+        allowed_langs=("en",))
+
+
+def q_source_mix_docs(spark, sf):
+    # per-source data-mixing report (doc/char/token volumes, mean
+    # quality, corpus share)
+    return TS.source_mix_report(_t(spark, sf, "documents"),
+                                "text", "source")
+
+
 def q_cosine_topk_embeddings(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
@@ -559,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "contamination_docs": q_contamination_docs,
         "dup_span_census_docs": q_dup_span_census_docs,
+        "curation_docs": q_curation_docs,
+        "source_mix_docs": q_source_mix_docs,
         "fingerprint_md5_docs": q_fingerprint_md5_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "drift_price_by_returnflag": q_drift_price_by_returnflag,
@@ -976,6 +998,130 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_cont, 0) > 0 AS contaminated
             FROM g LEFT JOIN hits ON g.id = hits.id
             WHERE g.id >= 5 ORDER BY g.id
+        """,
+        "curation_docs": r"""
+            WITH w AS (
+              SELECT doc_id AS id, text,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents),
+            grams AS (
+              SELECT id,
+                     list_transform(generate_series(1, len(words)-1),
+                       i -> array_to_string(words[i:i+1], ' ')) AS g2,
+                     list_transform(generate_series(1, len(words)-2),
+                       i -> array_to_string(words[i:i+2], ' ')) AS g3,
+                     list_distinct(list_transform(
+                       generate_series(1, len(words)-4),
+                       i -> array_to_string(words[i:i+4], ' '))) AS g5
+              FROM w),
+            top AS (
+              SELECT id, max(cnt) AS top_n FROM (
+                SELECT id, gram, count(*) AS cnt
+                FROM (SELECT id, unnest(g2) AS gram FROM grams) GROUP BY 1, 2)
+              GROUP BY 1),
+            bench AS (SELECT DISTINCT unnest(g5) AS gram FROM grams
+                      WHERE id < 5),
+            cont AS (SELECT DISTINCT id
+                     FROM (SELECT id, unnest(g5) AS gram FROM grams
+                           WHERE id >= 5)
+                     JOIN bench USING (gram)),
+            base AS (
+              SELECT w.id,
+                     length(text) AS n_chars,
+                     len(words) AS n_words,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(list_intersect(words, ['the','and','of','to','a','in','is','it','for','on'])) AS h_en,
+                     len(list_intersect(words, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS h_de,
+                     len(list_intersect(words, ['el','la','los','y','es','un','una','de','en','por'])) AS h_es,
+                     len(list_intersect(words, ['le','la','les','et','est','un','une','des','dans','pour'])) AS h_fr,
+                     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(text, '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}'))
+                     + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+                     + len(regexp_extract_all(text, '(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}'))
+                       AS n_pii
+              FROM w WHERE w.id >= 5),
+            derived AS (
+              SELECT id, n_chars, n_words, h_en, h_de, h_es, h_fr, n_pii,
+                     round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+                     round((n_chars - (n_words - 1)) / greatest(n_words, 1), 6)
+                       AS mean_word_len
+              FROM base),
+            sig AS (
+              SELECT d.id,
+                CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+                     WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                     WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                     WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                     ELSE 'fr' END AS lang_pred,
+                round(
+                  0.25 * (CASE WHEN n_chars >= 50 AND n_chars <= 100000
+                               THEN 1.0 ELSE 0.0 END)
+                + 0.25 * (1 - least(punct_ratio * 4, 1.0))
+                + 0.25 * (CASE WHEN h_en >= 2 THEN 1.0 ELSE 0.0 END)
+                + 0.25 * (CASE WHEN mean_word_len >= 2.0
+                                AND mean_word_len <= 12.0
+                               THEN 1.0 ELSE 0.0 END), 6) AS quality,
+                CASE WHEN len(g.g3) > 0
+                     THEN round(1 - len(list_distinct(g.g3))/len(g.g3), 6)
+                     ELSE 0.0 END AS dup_3gram_frac,
+                CASE WHEN len(g.g2) > 0
+                     THEN round(coalesce(t.top_n, 0)/len(g.g2), 6)
+                     ELSE 0.0 END AS top_2gram_frac,
+                n_pii > 0 AS has_pii,
+                (c.id IS NOT NULL) AS contaminated
+              FROM derived d
+              JOIN grams g ON g.id = d.id
+              LEFT JOIN top t ON t.id = d.id
+              LEFT JOIN cont c ON c.id = d.id)
+            SELECT id, lang_pred, quality, dup_3gram_frac, top_2gram_frac,
+                   has_pii, contaminated,
+                   len(reasons_list) = 0 AS keep,
+                   coalesce(array_to_string(list_sort(reasons_list), ','),
+                            '') AS reasons
+            FROM (
+              SELECT *, list_filter([
+                  CASE WHEN contaminated THEN 'contaminated' END,
+                  CASE WHEN dup_3gram_frac > 0.01 THEN 'high_dup_3gram' END,
+                  CASE WHEN top_2gram_frac > 0.06 THEN 'high_top_2gram' END,
+                  CASE WHEN quality < 0.75 THEN 'low_quality' END,
+                  CASE WHEN has_pii THEN 'pii' END,
+                  CASE WHEN lang_pred <> 'en' THEN 'lang' END
+                ], x -> x IS NOT NULL) AS reasons_list
+              FROM sig)
+            ORDER BY id
+        """,
+        "source_mix_docs": r"""
+            WITH perdoc AS (
+              SELECT source,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       AS n_tokens,
+                     round(
+                       0.25 * (CASE WHEN length(text) >= 50
+                                     AND length(text) <= 100000
+                                    THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (1 - least(round(
+                         len(regexp_extract_all(text, '[^\w\s]'))
+                         / greatest(length(text), 1), 6) * 4, 1.0))
+                     + 0.25 * (CASE WHEN len(list_intersect(
+                         regexp_split_to_array(lower(trim(text)), '\s+'),
+                         ['the','and','of','to','a','in','is','it','for','on']))
+                         >= 2 THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (CASE WHEN round((length(text)
+                         - (len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1))
+                         / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 6)
+                         BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END), 6)
+                       AS quality
+              FROM documents),
+            per AS (
+              SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars,
+                     sum(n_tokens) AS n_tokens,
+                     round(avg(quality), 6) AS mean_quality
+              FROM perdoc GROUP BY source)
+            SELECT source, n_docs, n_chars, n_tokens, mean_quality,
+                   round(n_docs / (SELECT sum(n_docs) FROM per), 6)
+                     AS doc_share
+            FROM per ORDER BY source
         """,
         "dup_span_census_docs": r"""
             WITH w AS (

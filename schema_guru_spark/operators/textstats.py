@@ -48,7 +48,21 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str,
         score = 0.25*len_ok + 0.25*(1 - punct_ratio_capped)
               + 0.25*stop_ok + 0.25*word_len_ok
     """
-    c = F.col(text_col)
+    q = _quality_cols(F.col(text_col), lang)
+    return df.select(
+        F.col(id_col).alias("id"),
+        q["n_chars"].alias("n_chars"),
+        q["n_words"].alias("n_words"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_hits"].alias("stopword_hits"),
+        q["mean_word_len"].alias("mean_word_len"),
+        q["quality"].alias("quality"),
+    ).orderBy("id")
+
+
+def _quality_cols(c: Column, lang: str = "en") -> dict:
+    """The quality_scores signal expressions, as reusable columns (the
+    single source of truth for both quality_scores and curation_report)."""
     words = _words(c)
     n_words = F.size(words)
     n_chars = F.length(c)
@@ -68,15 +82,9 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str,
     punct_capped = F.least(punct_ratio * 4, F.lit(1.0))
     score = F.round(0.25 * len_ok + 0.25 * (1 - punct_capped)
                     + 0.25 * stop_ok + 0.25 * word_len_ok, 6)
-    return df.select(
-        F.col(id_col).alias("id"),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        punct_ratio.alias("punct_ratio"),
-        stop_hits.alias("stopword_hits"),
-        mean_word_len.alias("mean_word_len"),
-        score.alias("quality"),
-    ).orderBy("id")
+    return {"n_chars": n_chars, "n_words": n_words,
+            "punct_ratio": punct_ratio, "stopword_hits": stop_hits,
+            "mean_word_len": mean_word_len, "quality": score}
 
 
 def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -97,6 +105,21 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         pred = pred.when(F.col(f"h_{la}") == best, F.lit(la))
     return base.select("id", *[f"h_{la}" for la in langs],
                        pred.alias("lang_pred")).orderBy("id")
+
+
+def _lang_pred_expr(c: Column) -> Column:
+    """lang_id's argmax prediction as a single inline expression (same
+    hit counts, same alphabetical tiebreak, 'und' when no hits)."""
+    words = _words(c)
+    langs = sorted(STOPWORDS)
+    hits = {la: F.size(F.array_intersect(
+        words, F.array(*[F.lit(w) for w in STOPWORDS[la]])))
+        for la in langs}
+    best = F.greatest(*hits.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for la in langs:
+        pred = pred.when(hits[la] == best, F.lit(la))
+    return pred
 
 
 def fingerprints(df: DataFrame, text_col: str, id_col: str,
@@ -180,6 +203,28 @@ def _word_ngrams(words: Column, n: int) -> Column:
         F.array().cast("array<string>"))
 
 
+def _dup_frac(g: Column) -> Column:
+    """Fraction of array elements that repeat an earlier one."""
+    return F.when(
+        F.size(g) > 0,
+        F.round(F.lit(1) - F.size(F.array_distinct(g)) / F.size(g), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def _top_run_count(g: Column) -> Column:
+    """Occurrence count of the most frequent element = longest run in
+    the sorted array (O(g log g) run-length scan via ``aggregate``)."""
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(F.array_sort(g), zero, step, lambda acc: acc["best"])
+
+
 def repetition_signals(df: DataFrame, text_col: str,
                        id_col: str) -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al. 2021,
@@ -200,31 +245,13 @@ def repetition_signals(df: DataFrame, text_col: str,
     """
     words = _words(F.col(text_col))
     g2, g3 = _word_ngrams(words, 2), _word_ngrams(words, 3)
-
-    def dup_frac(g: Column) -> Column:
-        return F.when(
-            F.size(g) > 0,
-            F.round(F.lit(1) - F.size(F.array_distinct(g)) / F.size(g), 6),
-        ).otherwise(F.lit(0.0))
-
-    # most-frequent-gram count = longest run in the sorted gram array
-    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                    F.lit(0).alias("best"))
-
-    def step(acc: Column, x: Column) -> Column:
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(x.alias("prev"), run.alias("run"),
-                        F.greatest(acc["best"], run).alias("best"))
-
-    top_n = F.aggregate(F.array_sort(g2), zero, step,
-                        lambda acc: acc["best"])
     out = df.select(
         F.col(id_col).alias("id"),
         F.size(words).alias("n_words"),
         F.size(g2).alias("n_2grams"),
-        dup_frac(g2).alias("dup_2gram_frac"),
-        dup_frac(g3).alias("dup_3gram_frac"),
-        top_n.alias("top_2gram_n"),
+        _dup_frac(g2).alias("dup_2gram_frac"),
+        _dup_frac(g3).alias("dup_3gram_frac"),
+        _top_run_count(g2).alias("top_2gram_n"),
     )
     return out.select(
         "*",
@@ -299,3 +326,110 @@ def interdoc_span_census(docs: DataFrame, text_col: str, id_col: str,
                  F.count("*").alias("n_total"))
             .where(F.col("n_docs") >= min_docs)
             .orderBy("span"))
+
+def curation_report(docs: DataFrame, text_col: str, id_col: str,
+                    bench: DataFrame = None, bench_text_col: str = None,
+                    contamination_n: int = 13, quality_min: float = 0.5,
+                    dup3_max: float = 0.2, top2_max: float = 0.18,
+                    allowed_langs: tuple = None) -> DataFrame:
+    """The curation end product: one keep/drop verdict per document with
+    machine-readable reason codes, composing every per-doc signal this
+    module exposes (quality score, Gopher repetition caps, language
+    allow-list, PII flag, benchmark contamination). Reason codes (sorted,
+    comma-joined): low_quality, high_dup_3gram, high_top_2gram, lang,
+    pii, contaminated. keep = no reason fired. Default caps follow
+    Gopher's repetition thresholds (dup/top n-gram fractions).
+
+    100 TB story: every signal except contamination is a per-row
+    expression, so the verdict is ONE map-side pass over the corpus —
+    no joins between signals, nothing shuffles. Contamination (when a
+    ``bench`` set is given) adds a single BROADCAST semi-join against
+    the benchmark's distinct gram set, computed per doc as a left join
+    on id against the distinct contaminated-id set; the per-id dedup is
+    the only exchange and carries ids alone.
+    """
+    c = F.col(text_col)
+    words = _words(c)
+    g2, g3 = _word_ngrams(words, 2), _word_ngrams(words, 3)
+    q = _quality_cols(c)
+    n2 = F.size(g2)
+    top2_frac = F.when(
+        n2 > 0, F.round(_top_run_count(g2) / n2, 6)).otherwise(F.lit(0.0))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        _lang_pred_expr(c).alias("lang_pred"),
+        q["quality"].alias("quality"),
+        _dup_frac(g3).alias("dup_3gram_frac"),
+        top2_frac.alias("top_2gram_frac"),
+        (F.regexp_count(c, F.lit(PII_EMAIL_RE))
+         + F.regexp_count(c, F.lit(PII_PHONE_RE))
+         + F.regexp_count(c, F.lit(PII_SSN_RE))
+         + F.regexp_count(c, F.lit(PII_IPV4_RE)) > 0).alias("has_pii"),
+    )
+    if bench is not None:
+        grams = F.array_distinct(_word_ngrams(words, contamination_n))
+        bg = (bench.select(F.explode(F.array_distinct(_word_ngrams(
+                  _words(F.col(bench_text_col or text_col)),
+                  contamination_n))).alias("gram")).distinct())
+        contaminated_ids = (docs.select(F.col(id_col).alias("id"),
+                                        F.explode(grams).alias("gram"))
+                            .join(F.broadcast(bg), "gram")
+                            .select("id").distinct())
+        base = (base.join(contaminated_ids.withColumn(
+                    "contaminated", F.lit(True)), "id", "left")
+                .withColumn("contaminated",
+                            F.coalesce(F.col("contaminated"), F.lit(False))))
+    else:
+        base = base.withColumn("contaminated", F.lit(False))
+    checks = [
+        ("contaminated", F.col("contaminated")),
+        ("high_dup_3gram", F.col("dup_3gram_frac") > dup3_max),
+        ("high_top_2gram", F.col("top_2gram_frac") > top2_max),
+        ("low_quality", F.col("quality") < quality_min),
+        ("pii", F.col("has_pii")),
+    ]
+    if allowed_langs is not None:
+        checks.append(
+            ("lang", ~F.col("lang_pred").isin(*allowed_langs)))
+    fired = F.array_compact(F.array(*[
+        F.when(cond, F.lit(name)).otherwise(F.lit(None).cast("string"))
+        for name, cond in checks]))
+    return base.select(
+        "id", "lang_pred", "quality", "dup_3gram_frac", "top_2gram_frac",
+        "has_pii", "contaminated",
+        (F.size(fired) == 0).alias("keep"),
+        F.array_join(F.array_sort(fired), ",").alias("reasons"),
+    ).orderBy("id")
+
+
+def source_mix_report(docs: DataFrame, text_col: str,
+                      source_col: str) -> DataFrame:
+    """Data-mixing report: per-source document counts, character and
+    whitespace-token volumes, mean quality score, and each source's
+    share of the corpus — the table a pre-training data recipe is
+    negotiated over.
+
+    100 TB story: per-doc signals are map-side expressions; the groupBy
+    on source partial-aggregates to one row per source, and the corpus
+    total arrives as a broadcast single-row join — so a hot source
+    (mega-domain skew) adds zero shuffle volume beyond its one state row.
+    """
+    c = F.col(text_col)
+    q = _quality_cols(c)
+    per = (docs.select(
+               F.col(source_col).alias("source"),
+               q["n_chars"].alias("n_chars"),
+               F.size(_words(c)).alias("n_tokens"),
+               q["quality"].alias("quality"))
+           .groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("n_chars"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.round(F.avg("quality"), 6).alias("mean_quality")))
+    total = per.agg(F.sum("n_docs").alias("_total"))
+    return (per.join(F.broadcast(total))
+            .select("source", "n_docs", "n_chars", "n_tokens",
+                    "mean_quality",
+                    F.round(F.col("n_docs") / F.col("_total"), 6)
+                     .alias("doc_share"))
+            .orderBy("source"))

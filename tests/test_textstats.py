@@ -157,3 +157,71 @@ def test_interdoc_span_census(spark):
     assert by_span[shared]["n_total"] == 4
     # nothing from doc 3 leaks in
     assert all("nothing" not in s for s in by_span)
+
+
+def test_curation_report_reason_codes(spark):
+    docs = spark.createDataFrame([
+        # clean keeper: long enough, stopwords, no repeats
+        (1, "the cat and the dog are friends in a big house of wonder "
+            "for it is a fine day on the hill and all is well here"),
+        # repetition offender
+        (2, "spam spam spam spam spam spam spam spam spam spam spam"),
+        # PII offender (quality padded to pass the other checks)
+        (3, "the report for john is at john.doe@example.com and it is "
+            "a long enough document in the usual style of all of it"),
+        # contaminated: contains the benchmark 13-gram verbatim
+        (4, "the quick brown fox jumps over the lazy dog every single "
+            "day and it is a fine sight for all of us to see"),
+    ], ["id", "text"])
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog every single "
+             "day and nothing more")], ["id", "text"])
+    out = {r["id"]: r for r in TS.curation_report(
+        docs, "text", "id", bench=bench, contamination_n=13,
+        allowed_langs=("en",)).collect()}
+    assert out[1]["keep"] and out[1]["reasons"] == ""
+    assert not out[2]["keep"]
+    assert "high_top_2gram" in out[2]["reasons"]
+    assert "high_dup_3gram" in out[2]["reasons"]
+    assert not out[3]["keep"] and "pii" in out[3]["reasons"]
+    assert out[3]["has_pii"]
+    assert not out[4]["keep"] and out[4]["reasons"] == "contaminated"
+    assert out[4]["contaminated"]
+    # reasons are sorted + comma-joined
+    assert out[2]["reasons"] == ",".join(sorted(out[2]["reasons"].split(",")))
+
+
+def test_curation_report_without_bench_is_single_pass(spark):
+    """No benchmark set => the verdict is one map-side pass: the plan
+    must contain no joins and no aggregates."""
+    df = spark.createDataFrame([(1, "the cat and the dog")], ["id", "text"])
+    plan = TS.curation_report(df, "text", "id") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_curation_report_broadcasts_benchmark(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f g h i j k l m")],
+                                 ["id", "text"])
+    bench = spark.createDataFrame([(0, "a b c d e f g h i j k l m")],
+                                  ["id", "text"])
+    plan = TS.curation_report(docs, "text", "id", bench=bench) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+
+
+def test_source_mix_report(spark):
+    docs = spark.createDataFrame([
+        (1, "the cat and the dog are friends in a big house of wonder "
+            "for it is a fine day on the hill and all is well here", "a"),
+        (2, "the sun is up and the day is warm for all of us in town "
+            "and the birds sing a song of it with joy and laughter", "a"),
+        (3, "x", "b"),
+    ], ["id", "text", "source"])
+    out = {r["source"]: r for r in
+           TS.source_mix_report(docs, "text", "source").collect()}
+    assert out["a"]["n_docs"] == 2 and out["b"]["n_docs"] == 1
+    assert out["a"]["doc_share"] == round(2 / 3, 6)
+    assert out["b"]["doc_share"] == round(1 / 3, 6)
+    assert out["a"]["mean_quality"] > out["b"]["mean_quality"]
+    assert out["b"]["n_chars"] == 1 and out["b"]["n_tokens"] == 1
