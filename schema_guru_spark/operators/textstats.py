@@ -350,22 +350,8 @@ def curation_report(docs: DataFrame, text_col: str, id_col: str,
     """
     c = F.col(text_col)
     words = _words(c)
-    g2, g3 = _word_ngrams(words, 2), _word_ngrams(words, 3)
-    q = _quality_cols(c)
-    n2 = F.size(g2)
-    top2_frac = F.when(
-        n2 > 0, F.round(_top_run_count(g2) / n2, 6)).otherwise(F.lit(0.0))
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        _lang_pred_expr(c).alias("lang_pred"),
-        q["quality"].alias("quality"),
-        _dup_frac(g3).alias("dup_3gram_frac"),
-        top2_frac.alias("top_2gram_frac"),
-        (F.regexp_count(c, F.lit(PII_EMAIL_RE))
-         + F.regexp_count(c, F.lit(PII_PHONE_RE))
-         + F.regexp_count(c, F.lit(PII_SSN_RE))
-         + F.regexp_count(c, F.lit(PII_IPV4_RE)) > 0).alias("has_pii"),
-    )
+    base = docs.select(F.col(id_col).alias("id"),
+                       *_curation_signal_cols(c))
     if bench is not None:
         grams = F.array_distinct(_word_ngrams(words, contamination_n))
         bg = (bench.select(F.explode(F.array_distinct(_word_ngrams(
@@ -381,6 +367,40 @@ def curation_report(docs: DataFrame, text_col: str, id_col: str,
                             F.coalesce(F.col("contaminated"), F.lit(False))))
     else:
         base = base.withColumn("contaminated", F.lit(False))
+    keep, reasons = _verdict_cols(quality_min, dup3_max, top2_max,
+                                  allowed_langs)
+    return base.select(
+        "id", "lang_pred", "quality", "dup_3gram_frac", "top_2gram_frac",
+        "has_pii", "contaminated",
+        keep.alias("keep"), reasons.alias("reasons"),
+    ).orderBy("id")
+
+
+def _curation_signal_cols(c: Column) -> list:
+    """The per-document curation signals as aliased columns — shared by
+    the batch curation_report and the streaming path (all stateless
+    per-row expressions, so they are streaming-safe by construction)."""
+    g2 = _word_ngrams(_words(c), 2)
+    g3 = _word_ngrams(_words(c), 3)
+    n2 = F.size(g2)
+    top2_frac = F.when(
+        n2 > 0, F.round(_top_run_count(g2) / n2, 6)).otherwise(F.lit(0.0))
+    return [
+        _lang_pred_expr(c).alias("lang_pred"),
+        _quality_cols(c)["quality"].alias("quality"),
+        _dup_frac(g3).alias("dup_3gram_frac"),
+        top2_frac.alias("top_2gram_frac"),
+        (F.regexp_count(c, F.lit(PII_EMAIL_RE))
+         + F.regexp_count(c, F.lit(PII_PHONE_RE))
+         + F.regexp_count(c, F.lit(PII_SSN_RE))
+         + F.regexp_count(c, F.lit(PII_IPV4_RE)) > 0).alias("has_pii"),
+    ]
+
+
+def _verdict_cols(quality_min: float, dup3_max: float, top2_max: float,
+                  allowed_langs: tuple):
+    """(keep, reasons) columns over the named signal + contaminated
+    columns; reason codes sorted and comma-joined."""
     checks = [
         ("contaminated", F.col("contaminated")),
         ("high_dup_3gram", F.col("dup_3gram_frac") > dup3_max),
@@ -394,12 +414,8 @@ def curation_report(docs: DataFrame, text_col: str, id_col: str,
     fired = F.array_compact(F.array(*[
         F.when(cond, F.lit(name)).otherwise(F.lit(None).cast("string"))
         for name, cond in checks]))
-    return base.select(
-        "id", "lang_pred", "quality", "dup_3gram_frac", "top_2gram_frac",
-        "has_pii", "contaminated",
-        (F.size(fired) == 0).alias("keep"),
-        F.array_join(F.array_sort(fired), ",").alias("reasons"),
-    ).orderBy("id")
+    return (F.size(fired) == 0,
+            F.array_join(F.array_sort(fired), ","))
 
 
 def source_mix_report(docs: DataFrame, text_col: str,

@@ -265,3 +265,58 @@ def test_streaming_window_moments_skips_nulls(spark, tmp_path):
     q.awaitTermination(120)
     r = spark.sql("SELECT * FROM null_moments").collect()[0]
     assert r["n"] == 2 and r["mean"] == 15.0   # null row excluded
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """stream==batch parity for the curation verdict: the per-row
+    signals are shared expressions, and the broadcast sorted-hash
+    contamination probe must reproduce the batch join+distinct exactly
+    (it is exact membership, not a sketch)."""
+    from schema_guru_spark.operators.textstats import curation_report
+    from schema_guru_spark.streaming.curate_stream import (
+        benchmark_gram_hashes, streaming_curation)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    bench = docs.where(F.col("doc_id") < 5)
+    corpus = docs.where((F.col("doc_id") >= 5) & (F.col("doc_id") < 120))
+    src = tmp_path / "docs_in"
+    corpus.write.parquet(str(src))
+
+    kw = dict(contamination_n=5, quality_min=0.75, dup3_max=0.01,
+              top2_max=0.06, allowed_langs=("en",))
+    expected = sorted(tuple(r) for r in curation_report(
+        corpus, "text", "doc_id", bench=bench, **kw).collect())
+
+    bh = benchmark_gram_hashes(bench, "text", contamination_n=5)
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .parquet(str(src)))
+    out = streaming_curation(stream, "text", "doc_id",
+                             bench_hashes=bh, **kw)
+    q = (out.writeStream.format("memory").queryName("curation_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM curation_out").collect())
+    assert got == expected
+    assert any(r[6] for r in got), "fixture lost its contaminated docs"
+
+
+def test_streaming_curation_stateless_without_bench(spark, tmp_path):
+    """No benchmark => the plan must be a stateless projection (no
+    state store operators), so it runs in append mode with no
+    watermark."""
+    from schema_guru_spark.streaming.curate_stream import (
+        streaming_curation)
+    src = tmp_path / "docs_in2"
+    spark.createDataFrame([(1, "the cat and the dog")],
+                          "doc_id bigint, text string") \
+         .write.parquet(str(src))
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .parquet(str(src)))
+    out = streaming_curation(stream, "text", "doc_id")
+    q = (out.writeStream.format("memory").queryName("curation_nobench")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM curation_nobench").collect()
+    assert len(rows) == 1 and rows[0]["contaminated"] is False
