@@ -137,13 +137,15 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
     expressions — one pass, no shuffle, no Python.
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    n_kgrams = F.greatest(F.length(norm) - (ngram - 1), F.lit(1))
-    kgram_hashes = F.transform(
-        F.sequence(F.lit(1), n_kgrams),
+    # bind norm: an unbound reference re-runs the regexp_replace once
+    # per k-gram inside the interpreted transform (see _bind)
+    kgram_hashes = _bind(norm, lambda nm: F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.length(nm) - (ngram - 1), F.lit(1))),
         lambda i: F.conv(
-            F.substring(F.md5(F.substring(norm, i, ngram).cast("binary")),
+            F.substring(F.md5(F.substring(nm, i, ngram).cast("binary")),
                         1, 15), 16, 10).cast("bigint"),
-    )
+    ))
     kh = "_kgram_hashes"
     n_wins = F.greatest(F.size(F.col(kh)) - (window - 1), F.lit(1))
     window_mins = F.transform(
@@ -190,10 +192,30 @@ def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (F.col("n_email") + F.col("n_phone") + F.col("n_ssn")
          + F.col("n_ipv4")) > 0)
 
+def _bind(expensive: Column, f) -> Column:
+    """Evaluate ``expensive`` ONCE per row and pass the materialized
+    value to ``f`` as a lambda variable: get(transform(array(e), f), 0).
+
+    Higher-order functions run interpreted (no codegen, no common-
+    subexpression elimination), so a lambda body that captures an
+    expensive expression re-evaluates it for EVERY array element — a
+    transform building g grams over split(text) pays g regex splits per
+    row instead of one (measured 13x on the documents table). Binding
+    through a single-element transform makes the lambda variable hold
+    the computed value, restoring once-per-row evaluation; the same
+    applies to any column referenced several times in one projection.
+    """
+    return F.get(F.transform(F.array(expensive), f), 0)
+
+
 def _word_ngrams(words: Column, n: int) -> Column:
     """Word n-grams as space-joined strings, built entirely JVM-side:
     transform over an index sequence + slice + concat_ws. Empty array
-    (never partial grams) when the document has < n words."""
+    (never partial grams) when the document has < n words.
+
+    NOTE: pass a ``_bind``-bound lambda variable (or a cheap column
+    reference) as ``words`` — a raw split(...) expression here is
+    re-evaluated once per gram (see _bind)."""
     cnt = F.size(words) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
@@ -241,24 +263,43 @@ def repetition_signals(df: DataFrame, text_col: str,
     expression (sort + run-length scan via ``aggregate``), so the
     operator is embarrassingly parallel and pipelines with the scan.
     The run-length scan makes the top-gram count O(g log g) per doc
-    instead of the O(g^2) per-distinct-gram filter count.
+    instead of the O(g^2) per-distinct-gram filter count. The word and
+    gram arrays are ``_bind``-materialized once per row, and the signal
+    struct is projected in a separate step so field extraction doesn't
+    re-run the whole computation.
     """
-    words = _words(F.col(text_col))
-    g2, g3 = _word_ngrams(words, 2), _word_ngrams(words, 3)
-    out = df.select(
-        F.col(id_col).alias("id"),
-        F.size(words).alias("n_words"),
-        F.size(g2).alias("n_2grams"),
-        _dup_frac(g2).alias("dup_2gram_frac"),
-        _dup_frac(g3).alias("dup_3gram_frac"),
-        _top_run_count(g2).alias("top_2gram_n"),
-    )
-    return out.select(
-        "*",
-        F.when(F.col("n_2grams") > 0,
-               F.round(F.col("top_2gram_n") / F.col("n_2grams"), 6))
-         .otherwise(F.lit(0.0)).alias("top_2gram_frac"),
-    ).orderBy("id")
+    sig = _repetition_struct(F.col(text_col))
+    return (df.select(F.col(id_col).alias("id"), sig.alias("_s"))
+            .select("id", "_s.n_words", "_s.n_2grams", "_s.dup_2gram_frac",
+                    "_s.dup_3gram_frac", "_s.top_2gram_n",
+                    "_s.top_2gram_frac")
+            .orderBy("id"))
+
+
+def _repetition_struct(c: Column) -> Column:
+    """All repetition signals as ONE struct column: words and both gram
+    arrays are bound once per row; extract fields via a second
+    projection (CollapseProject keeps a multiply-referenced non-cheap
+    struct materialized rather than inlining it per field)."""
+    def inner(w: Column) -> Column:
+        return _bind(_word_ngrams(w, 2), lambda g2: _bind(
+            _word_ngrams(w, 3), lambda g3: _bind(
+                _top_run_count(g2), lambda top: F.struct(
+                    F.size(w).alias("n_words"),
+                    F.size(g2).alias("n_2grams"),
+                    _dup_frac(g2).alias("dup_2gram_frac"),
+                    _dup_frac(g3).alias("dup_3gram_frac"),
+                    top.alias("top_2gram_n"),
+                    F.when(F.size(g2) > 0,
+                           F.round(top / F.size(g2), 6))
+                     .otherwise(F.lit(0.0)).alias("top_2gram_frac")))))
+    return _bind(_words(c), inner)
+
+
+def _distinct_ngrams(c: Column, n: int) -> Column:
+    """Distinct word n-grams of a text column, words bound once per row."""
+    return _bind(_words(c),
+                 lambda w: F.array_distinct(_word_ngrams(w, n)))
 
 
 def contamination_check(docs: DataFrame, bench: DataFrame, text_col: str,
@@ -279,17 +320,14 @@ def contamination_check(docs: DataFrame, bench: DataFrame, text_col: str,
     bench_text_col = bench_text_col or text_col
     dg = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(
-            _word_ngrams(_words(F.col(text_col)), n))).alias("gram"))
-    bg = (bench.select(F.explode(F.array_distinct(
-              _word_ngrams(_words(F.col(bench_text_col)), n)))
-          .alias("gram")).distinct())
+        F.explode(_distinct_ngrams(F.col(text_col), n)).alias("gram"))
+    bg = (bench.select(F.explode(_distinct_ngrams(
+              F.col(bench_text_col), n)).alias("gram")).distinct())
     hits = (dg.join(F.broadcast(bg), "gram")
               .groupBy("id").agg(F.count("*").alias("hits")))
     totals = docs.select(
         F.col(id_col).alias("id"),
-        F.size(F.array_distinct(
-            _word_ngrams(_words(F.col(text_col)), n))).alias("n_grams"))
+        F.size(_distinct_ngrams(F.col(text_col), n)).alias("n_grams"))
     return (totals.join(hits, "id", "left")
             .select(
                 "id", "n_grams",
@@ -320,7 +358,8 @@ def interdoc_span_census(docs: DataFrame, text_col: str, id_col: str,
     """
     spans = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(_word_ngrams(_words(F.col(text_col)), k)).alias("span"))
+        F.explode(_bind(_words(F.col(text_col)),
+                        lambda w: _word_ngrams(w, k))).alias("span"))
     return (spans.groupBy("span")
             .agg(F.count_distinct("id").alias("n_docs"),
                  F.count("*").alias("n_total"))
@@ -348,15 +387,12 @@ def curation_report(docs: DataFrame, text_col: str, id_col: str,
     on id against the distinct contaminated-id set; the per-id dedup is
     the only exchange and carries ids alone.
     """
-    c = F.col(text_col)
-    words = _words(c)
-    base = docs.select(F.col(id_col).alias("id"),
-                       *_curation_signal_cols(c))
+    base = _curation_signals_df(docs, text_col, id_col)
     if bench is not None:
-        grams = F.array_distinct(_word_ngrams(words, contamination_n))
-        bg = (bench.select(F.explode(F.array_distinct(_word_ngrams(
-                  _words(F.col(bench_text_col or text_col)),
-                  contamination_n))).alias("gram")).distinct())
+        grams = _distinct_ngrams(F.col(text_col), contamination_n)
+        bg = (bench.select(F.explode(_distinct_ngrams(
+                  F.col(bench_text_col or text_col),
+                  contamination_n)).alias("gram")).distinct())
         contaminated_ids = (docs.select(F.col(id_col).alias("id"),
                                         F.explode(grams).alias("gram"))
                             .join(F.broadcast(bg), "gram")
@@ -376,25 +412,29 @@ def curation_report(docs: DataFrame, text_col: str, id_col: str,
     ).orderBy("id")
 
 
-def _curation_signal_cols(c: Column) -> list:
-    """The per-document curation signals as aliased columns — shared by
-    the batch curation_report and the streaming path (all stateless
-    per-row expressions, so they are streaming-safe by construction)."""
-    g2 = _word_ngrams(_words(c), 2)
-    g3 = _word_ngrams(_words(c), 3)
-    n2 = F.size(g2)
-    top2_frac = F.when(
-        n2 > 0, F.round(_top_run_count(g2) / n2, 6)).otherwise(F.lit(0.0))
-    return [
+def _curation_signals_df(docs: DataFrame, text_col: str, id_col: str,
+                         extra: dict = None) -> DataFrame:
+    """DataFrame of the per-document curation signals (id, lang_pred,
+    quality, dup_3gram_frac, top_2gram_frac, has_pii) — shared by the
+    batch curation_report and the streaming path (all stateless per-row
+    expressions, so they are streaming-safe by construction). ``extra``
+    maps output name -> column to carry alongside (e.g. gram hashes for
+    the streaming contamination probe). Two-step projection so the
+    bound repetition struct is materialized once per row (see _bind)."""
+    c = F.col(text_col)
+    first = docs.select(
+        F.col(id_col).alias("id"),
         _lang_pred_expr(c).alias("lang_pred"),
         _quality_cols(c)["quality"].alias("quality"),
-        _dup_frac(g3).alias("dup_3gram_frac"),
-        top2_frac.alias("top_2gram_frac"),
+        _repetition_struct(c).alias("_rep"),
         (F.regexp_count(c, F.lit(PII_EMAIL_RE))
          + F.regexp_count(c, F.lit(PII_PHONE_RE))
          + F.regexp_count(c, F.lit(PII_SSN_RE))
          + F.regexp_count(c, F.lit(PII_IPV4_RE)) > 0).alias("has_pii"),
-    ]
+        *[col.alias(name) for name, col in (extra or {}).items()])
+    return first.select(
+        "id", "lang_pred", "quality", "_rep.dup_3gram_frac",
+        "_rep.top_2gram_frac", "has_pii", *(extra or {}))
 
 
 def _verdict_cols(quality_min: float, dup3_max: float, top2_max: float,
@@ -441,7 +481,10 @@ def source_mix_report(docs: DataFrame, text_col: str,
            .agg(F.count("*").alias("n_docs"),
                 F.sum("n_chars").alias("n_chars"),
                 F.sum("n_tokens").alias("n_tokens"),
-                F.round(F.avg("quality"), 6).alias("mean_quality")))
+                F.round(F.avg("quality"), 6).alias("mean_quality"))
+           # per is #sources rows; checkpoint it so the 1-row total
+           # below doesn't re-scan the corpus a second time
+           .localCheckpoint(eager=False))
     total = per.agg(F.sum("n_docs").alias("_total"))
     return (per.join(F.broadcast(total))
             .select("source", "n_docs", "n_chars", "n_tokens",

@@ -3,7 +3,7 @@ continuously-ingested corpus.
 
 Every per-document curation signal (quality, repetition caps, language
 allow-list, PII) is a stateless per-row expression shared verbatim with
-the batch path (operators/textstats.py::_curation_signal_cols), so that
+the batch path (operators/textstats.py::_curation_signals_df), so that
 part of the streaming plan is a pure projection — no state store, no
 watermark, any output mode.
 
@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
 from schema_guru_spark.operators.textstats import (
-    _curation_signal_cols, _verdict_cols, _word_ngrams, _words,
+    _curation_signals_df, _distinct_ngrams, _verdict_cols,
 )
 
 
@@ -47,9 +47,8 @@ def benchmark_gram_hashes(bench: DataFrame, text_col: str,
     The distinct + hash run distributed (one small shuffle on the
     benchmark side only); the collect is bounded by the benchmark's
     distinct gram count by construction."""
-    rows = (bench.select(F.explode(F.array_distinct(
-                _word_ngrams(_words(F.col(text_col)), contamination_n)))
-                .alias("gram"))
+    rows = (bench.select(F.explode(_distinct_ngrams(
+                F.col(text_col), contamination_n)).alias("gram"))
             .select(F.xxhash64("gram").alias("h")).distinct().collect())
     return np.sort(np.array([r["h"] for r in rows], dtype=np.int64))
 
@@ -70,13 +69,11 @@ def streaming_curation(stream: DataFrame, text_col: str, id_col: str,
     Without it, ``contaminated`` is constant false and the whole plan is
     a stateless JVM projection.
     """
-    c = F.col(text_col)
-    base = stream.select(F.col(id_col).alias("id"),
-                         *_curation_signal_cols(c),
-                         F.transform(
-                             F.array_distinct(_word_ngrams(
-                                 _words(c), contamination_n)),
-                             lambda g: F.xxhash64(g)).alias("_ghash"))
+    base = _curation_signals_df(
+        stream, text_col, id_col,
+        extra={"_ghash": F.transform(
+            _distinct_ngrams(F.col(text_col), contamination_n),
+            lambda g: F.xxhash64(g))})
     if bench_hashes is not None:
         spark = SparkSession.getActiveSession()
         bc = spark.sparkContext.broadcast(

@@ -343,3 +343,37 @@ def test_drift_hot_partition_does_not_concentrate_shuffle(spark):
     # if the hot partition's 120k raw rows ever enter an exchange this
     # explodes by orders of magnitude
     assert w_hot < 10_000, w_hot
+
+
+def test_span_census_hot_span_does_not_concentrate_shuffle(spark):
+    """A boilerplate span appearing in most documents (license headers
+    in source-code corpora) must add nothing to the census shuffle:
+    partial aggregation reduces each map task's contribution to its
+    distinct spans, so the hot span costs one state row per map task
+    like any other span."""
+    from schema_guru_spark.operators import textstats as TS
+    n = 20_000
+    boiler = "the usual license header words repeat here verbatim"
+
+    def run(hot: bool):
+        # doc pairs share their spans so the census output is non-empty
+        # in BOTH corpora (an all-empty result lets AQE's empty-relation
+        # propagation erase the very exchanges we're measuring)
+        paired = F.concat(F.lit("shared words for doc pair number "),
+                          F.floor(F.col("id") / 2), F.lit(" pad pad pad"))
+        text = (F.when(F.pmod("id", 10) < 6, F.lit(boiler))
+                 .otherwise(paired) if hot else paired)
+        df = spark.range(0, n, 1, 8).select(
+            F.col("id"), text.alias("text"))
+        out = TS.interdoc_span_census(df, "text", "id", k=8, min_docs=2)
+        out.collect()
+        return _shuffle_records_written(out)
+
+    w_hot, w_uniform = run(True), run(False)
+    assert w_hot > 0 and w_uniform > 0
+    # the hot corpus has FEWER distinct spans, so if partial agg works
+    # its shuffle volume must not exceed the uniform corpus's
+    assert w_hot <= 1.2 * w_uniform, (w_hot, w_uniform)
+    # and ships less than the raw exploded-span volume (1.4n span rows,
+    # x2 for the count-distinct Expand = 2.8n if partial agg did nothing)
+    assert w_hot < 1.4 * n, w_hot
