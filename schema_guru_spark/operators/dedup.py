@@ -28,6 +28,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from schema_guru_spark.functions import bind_once
 from pyspark.sql import DataFrame, functions as F
 
 def _hash_family(n: int) -> np.ndarray:
@@ -128,10 +129,13 @@ def _char_shingle_array(text_col: str, k: int):
     spaces; docs shorter than k contribute their whole text as one
     shingle."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    n_g = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n_g),
-                    lambda i: F.substring(norm, i, k)))
+    # bind norm: an unbound reference re-runs the regexp_replace once
+    # per shingle inside the interpreted transform (functions.bind_once)
+    return bind_once(norm, lambda nm: F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.length(nm) - (k - 1), F.lit(1))),
+            lambda i: F.substring(nm, i, k))))
 
 
 def char_shingle_arrays(df: DataFrame, id_col: str, text_col: str,
@@ -319,14 +323,16 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     stage codegen, no Python."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     # guard: sequence(1, 0) would generate a DESCENDING [1, 0] and slice
-    # would see start=0 — short docs get an empty gram array instead
-    grams = F.when(
-        F.size(words) >= n,
+    # would see start=0 — short docs get an empty gram array instead.
+    # words is lambda-bound: interpreted transforms re-evaluate captured
+    # expressions per element (functions.bind_once)
+    grams = bind_once(words, lambda w: F.when(
+        F.size(w) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<string>")))
     return (df.select(F.col(id_col).alias("id"), F.explode(grams).alias("ngram"))
               .distinct())
 

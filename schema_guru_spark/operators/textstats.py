@@ -192,20 +192,9 @@ def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (F.col("n_email") + F.col("n_phone") + F.col("n_ssn")
          + F.col("n_ipv4")) > 0)
 
-def _bind(expensive: Column, f) -> Column:
-    """Evaluate ``expensive`` ONCE per row and pass the materialized
-    value to ``f`` as a lambda variable: get(transform(array(e), f), 0).
-
-    Higher-order functions run interpreted (no codegen, no common-
-    subexpression elimination), so a lambda body that captures an
-    expensive expression re-evaluates it for EVERY array element — a
-    transform building g grams over split(text) pays g regex splits per
-    row instead of one (measured 13x on the documents table). Binding
-    through a single-element transform makes the lambda variable hold
-    the computed value, restoring once-per-row evaluation; the same
-    applies to any column referenced several times in one projection.
-    """
-    return F.get(F.transform(F.array(expensive), f), 0)
+# _bind: see functions.bind_once — interpreted HOFs re-evaluate captured
+# expressions per element, so expensive inputs must be lambda-bound
+from schema_guru_spark.functions import bind_once as _bind  # noqa: E402
 
 
 def _word_ngrams(words: Column, n: int) -> Column:
