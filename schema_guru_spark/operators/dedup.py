@@ -246,31 +246,35 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     reassembled. No Python anywhere, and bit-for-bit reproducible in
     ANSI SQL — the DuckDB oracle in __spark_entry__ mirrors it.
 
-    Scale shape: one shuffle on (id, token) for the tf counts, one on
-    id for the bit sums; both are partial-aggregated map-side. Docs with
+    Scale shape: ONE shuffle, on id, partial-aggregated map-side — the
+    shuffle carries 60 sign-sum longs per doc per map partition, never
+    the token frame. tf weighting is implicit: summing each occurrence's
+    ±1 sign equals summing tf × sign over distinct tokens, so the
+    earlier (id, token) tf pre-aggregation shuffle (which moved the
+    ENTIRE token frame just to hash each distinct token once) is pure
+    overhead — hashing per occurrence is map-side CPU and measured
+    cheaper (sf0.1 warm 2.2s -> 1.6s, bit-identical output). Docs with
     no tokens get fp = 0 via the final left join.
     """
     from functools import reduce
     from operator import add
 
     ids = df.select(F.col(id_col).alias("id"))
-    toks = (
+    occ = (
         df.select(
             F.col(id_col).alias("id"),
             F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                               r"\s+")).alias("tok"))
         .where(F.col("tok") != "")
-        .groupBy("id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15),
                                 16, 10).cast("bigint"))
     )
     bit_sums = [
-        F.sum(F.col("cnt")
-              * (F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1))
+        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1)
         .alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
-    agg = toks.groupBy("id").agg(*bit_sums)
+    agg = occ.groupBy("id").agg(*bit_sums)
     fp = reduce(add, [
         F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         for j in range(SIMHASH_BITS)
