@@ -302,30 +302,32 @@ def contamination_check(docs: DataFrame, bench: DataFrame, text_col: str,
     100 TB story: the benchmark side is tiny by construction (eval sets
     are millions of grams at most), so its distinct gram set is
     BROADCAST — the corpus side never shuffles its grams; the only
-    exchange is the per-doc hit count keyed by id, partial-aggregated
-    map-side. Documents explode only their DISTINCT grams, bounding the
-    join input at sum(|distinct grams per doc|).
+    exchange is the per-doc (total, hit) count pair keyed by id,
+    partial-aggregated map-side. ONE corpus scan: grams are exploded
+    with ``explode_outer`` (gram-less docs survive as a null-gram row)
+    and totals + hits come from the SAME aggregate, instead of a second
+    full scan computing totals joined back on id. Documents explode
+    only their DISTINCT grams, bounding the join input at
+    sum(|distinct grams per doc|).
     """
     bench_text_col = bench_text_col or text_col
     dg = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(_distinct_ngrams(F.col(text_col), n)).alias("gram"))
+        F.explode_outer(_distinct_ngrams(F.col(text_col), n)).alias("gram"))
     bg = (bench.select(F.explode(_distinct_ngrams(
-              F.col(bench_text_col), n)).alias("gram")).distinct())
-    hits = (dg.join(F.broadcast(bg), "gram")
-              .groupBy("id").agg(F.count("*").alias("hits")))
-    totals = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(_distinct_ngrams(F.col(text_col), n)).alias("n_grams"))
-    return (totals.join(hits, "id", "left")
-            .select(
+              F.col(bench_text_col), n)).alias("gram")).distinct()
+          .withColumn("_hit", F.lit(1)))
+    per = (dg.join(F.broadcast(bg), "gram", "left")
+             .groupBy("id")
+             .agg(F.count("gram").alias("n_grams"),
+                  F.count("_hit").alias("hits")))
+    return (per.select(
                 "id", "n_grams",
-                F.coalesce(F.col("hits"), F.lit(0)).alias("n_contaminated"),
-                F.round(F.coalesce(F.col("hits"), F.lit(0))
+                F.col("hits").alias("n_contaminated"),
+                F.round(F.col("hits")
                         / F.greatest(F.col("n_grams"), F.lit(1)), 6)
                  .alias("contam_frac"),
-                (F.coalesce(F.col("hits"), F.lit(0)) > 0)
-                 .alias("contaminated"))
+                (F.col("hits") > 0).alias("contaminated"))
             .orderBy("id"))
 
 
@@ -369,29 +371,37 @@ def curation_report(docs: DataFrame, text_col: str, id_col: str,
     Gopher's repetition thresholds (dup/top n-gram fractions).
 
     100 TB story: every signal except contamination is a per-row
-    expression, so the verdict is ONE map-side pass over the corpus —
-    no joins between signals, nothing shuffles. Contamination (when a
-    ``bench`` set is given) adds a single BROADCAST semi-join against
-    the benchmark's distinct gram set, computed per doc as a left join
-    on id against the distinct contaminated-id set; the per-id dedup is
-    the only exchange and carries ids alone.
+    expression, and contamination rides the SAME single corpus scan:
+    the per-doc signal projection carries the doc's distinct-gram
+    array, ``explode_outer`` fans it out (signal columns replicate
+    per gram row but never materialize — explode, broadcast join, and
+    partial aggregation pipeline in one stage), a BROADCAST left join
+    against the benchmark's distinct gram set marks hits, and one
+    map-side-combined groupBy(id) folds everything back to a row per
+    doc (``any_value`` for the replicated signals, ``count(_hit) > 0``
+    for the verdict). The only exchange carries one small state row
+    per doc. The earlier shape scanned the corpus TWICE (signals +
+    gram explode) and joined a distinct contaminated-id set back on id.
     """
-    base = _curation_signals_df(docs, text_col, id_col)
     if bench is not None:
         grams = _distinct_ngrams(F.col(text_col), contamination_n)
         bg = (bench.select(F.explode(_distinct_ngrams(
                   F.col(bench_text_col or text_col),
-                  contamination_n)).alias("gram")).distinct())
-        contaminated_ids = (docs.select(F.col(id_col).alias("id"),
-                                        F.explode(grams).alias("gram"))
-                            .join(F.broadcast(bg), "gram")
-                            .select("id").distinct())
-        base = (base.join(contaminated_ids.withColumn(
-                    "contaminated", F.lit(True)), "id", "left")
-                .withColumn("contaminated",
-                            F.coalesce(F.col("contaminated"), F.lit(False))))
+                  contamination_n)).alias("gram")).distinct()
+              .withColumn("_hit", F.lit(1)))
+        sig_cols = ["lang_pred", "quality", "dup_3gram_frac",
+                    "top_2gram_frac", "has_pii"]
+        expl = (_curation_signals_df(docs, text_col, id_col,
+                                     extra={"_grams": grams})
+                .select("id", *sig_cols,
+                        F.explode_outer("_grams").alias("gram")))
+        base = (expl.join(F.broadcast(bg), "gram", "left")
+                .groupBy("id")
+                .agg(*[F.any_value(c).alias(c) for c in sig_cols],
+                     (F.count("_hit") > 0).alias("contaminated")))
     else:
-        base = base.withColumn("contaminated", F.lit(False))
+        base = (_curation_signals_df(docs, text_col, id_col)
+                .withColumn("contaminated", F.lit(False)))
     keep, reasons = _verdict_cols(quality_min, dup3_max, top2_max,
                                   allowed_langs)
     return base.select(
