@@ -416,13 +416,19 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
             yield pd.DataFrame({"id": ids, "band": band_idx,
                                 "bucket": codes.reshape(-1)})
 
+    # lazy checkpoints: buckets feeds both sides of the candidate
+    # self-join (a recompute diamond through the Python bucketing UDF)
+    # and vecs feeds both verify joins — without them the embedding
+    # table is scanned 8x and the hyperplane projection runs 2x
     buckets = df.select(id_col, vec_col).mapInPandas(
-        fn, f"id {dict(df.dtypes)[id_col]}, band int, bucket bigint")
+        fn, f"id {dict(df.dtypes)[id_col]}, band int, bucket bigint"
+    ).localCheckpoint(eager=False)
     # double-cast BEFORE the dot product: float32 inputs widen exactly,
     # so the verify arithmetic is bit-identical to the (double-based)
     # oracle and to the numpy bucketing above
     vecs = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).cast("array<double>").alias("v"))
+                     F.col(vec_col).cast("array<double>").alias("v")
+                     ).localCheckpoint(eager=False)
     l = buckets.alias("l")
     r = buckets.alias("r")
     cand = (l.join(r, ["band", "bucket"])
