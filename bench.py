@@ -51,6 +51,10 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # host contention is the leading confounder for cross-round deltas
+    # (round-3 verdict #3): snapshot the 1-min load average before and
+    # after so a noisy run is identifiable from the JSON alone
+    load_before = round(os.getloadavg()[0], 2)
 
     # warm the JVM + parquet footers once with a trivial action, and
     # spawn the Python worker pool (one worker per core) with a no-op
@@ -60,24 +64,28 @@ def main() -> None:
     spark.range(CPUS * 4, numPartitions=CPUS).mapInPandas(
         lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
-    # two passes per query, report the best: run 1 carries one-time
-    # costs (per-query codegen JIT, plan compilation) that are
-    # per-process constants, not engine throughput; run 2 is
-    # steady-state. Cold timings are kept alongside for transparency.
+    # three passes per query: run 1 carries one-time costs (per-query
+    # codegen JIT, plan compilation) that are per-process constants, not
+    # engine throughput; the headline is the best warm run, and the
+    # median-of-3 is reported alongside (round-3 verdict #3: best-of-2
+    # alone can't distinguish a real regression from one noisy sample).
     cold: dict[str, float] = {}
+    medians: dict[str, float] = {}
     total = 0.0
     for name in bench_names:
         if name not in queries:
             continue
-        best = float("inf")
-        for attempt in range(2):
+        runs: list[float] = []
+        for attempt in range(3):
             t0 = time.perf_counter()
             _force(queries[name](spark, SF_DIR))
             dt = time.perf_counter() - t0
             if attempt == 0:
                 cold[name] = round(dt, 3)
-            best = min(best, dt)
+            runs.append(dt)
             spark.catalog.clearCache()  # drop operator-internal persists
+        best = min(runs)
+        medians[name] = round(sorted(runs)[len(runs) // 2], 3)
         timings[name] = round(best, 3)
         total += best
 
@@ -108,12 +116,15 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "queries_cold": cold,
         "pipeline_queries": pipe,
         "sf": SF_DIR,
         "cpus": CPUS,
         "files_per_sec": round(n_docs / infer_sec, 1) if infer_sec else None,
         "n_docs": n_docs,
+        "loadavg_1m_before": load_before,
+        "loadavg_1m_after": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(out))
 

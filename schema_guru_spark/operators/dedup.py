@@ -29,7 +29,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from schema_guru_spark.functions import bind_once
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 def _hash_family(n: int) -> np.ndarray:
     """n fixed 64-bit seeds (deterministic — part of the spec)."""
@@ -48,16 +48,32 @@ def _splitmix64(v: np.ndarray) -> np.ndarray:
     return v ^ (v >> np.uint64(31))
 
 
-def exact_duplicates(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+def exact_duplicates(df: DataFrame, content_col: str, id_col: str,
+                     max_ids: int = 10_000) -> DataFrame:
     """Exact dedup via content digest: groups with multiplicity > 1,
-    keeping the sorted id list per group. digest = md5 (cross-engine)."""
-    return (
+    keeping the sorted id list per group. digest = md5 (cross-engine).
+
+    The per-digest id list is bounded BEFORE aggregation: a sort-based
+    window over the digest ranks ids and counts the group, rows past
+    ``max_ids`` are dropped, and only then does ``collect_list`` run —
+    so no aggregation buffer ever holds more than ``max_ids`` ids while
+    ``n`` stays exact. A degenerate corpus (10^8 copies of one payload)
+    sorts-and-spills in the window stage instead of materializing 10^8
+    ids in a single in-memory buffer. The window and the groupBy share
+    the digest hash partitioning, so this remains ONE data shuffle.
+    """
+    w = Window.partitionBy("digest")
+    ranked = (
         df.select(F.md5(F.col(content_col)).alias("digest"),
                   F.col(id_col).alias("id"))
-        .groupBy("digest")
-        .agg(F.count(F.lit(1)).alias("n"),
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("_rn", F.row_number().over(w.orderBy("id")))
+        .where((F.col("n") > 1) & (F.col("_rn") <= max_ids))
+    )
+    return (
+        ranked.groupBy("digest")
+        .agg(F.first("n").alias("n"),
              F.array_sort(F.collect_list("id")).alias("ids"))
-        .where(F.col("n") > 1)
         .orderBy("digest")
     )
 

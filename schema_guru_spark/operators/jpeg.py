@@ -394,6 +394,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("missing Huffman/quant table")
                 zz = np.zeros(64, dtype=np.int64)
                 size = br.symbol(dct)
+                if size > 11:   # ITU T.81 F.1.2.1.2: DC category <= 11
+                    raise ValueError("DC size out of baseline range")
                 preds[c] += _extend(br.bits(size), size)
                 zz[0] = preds[c]
                 k = 1
@@ -405,6 +407,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             k += 16
                             continue
                         break                    # EOB
+                    if size > 10:  # ITU T.81 F.1.2.2.1: AC size <= 10
+                        raise ValueError("AC size out of baseline range")
                     k += run
                     if k > 63:
                         raise ValueError("AC index overflow")

@@ -475,19 +475,26 @@ def source_mix_report(docs: DataFrame, text_col: str,
                F.col(source_col).alias("source"),
                q["n_chars"].alias("n_chars"),
                F.size(_words(c)).alias("n_tokens"),
-               q["quality"].alias("quality"))
+               # per-doc quality is a multiple of 1e-6 (rounded at
+               # derivation); summing the micro-quality as an exact
+               # integer makes the mean independent of partition
+               # merge order — avg(double) landed on a rounding
+               # boundary under one partitioning (round-3 verdict #2)
+               F.round(q["quality"] * 1e6).cast("long").alias("_q6"))
            .groupBy("source")
            .agg(F.count("*").alias("n_docs"),
                 F.sum("n_chars").alias("n_chars"),
                 F.sum("n_tokens").alias("n_tokens"),
-                F.round(F.avg("quality"), 6).alias("mean_quality"))
+                F.sum("_q6").alias("_q6"))
            # per is #sources rows; checkpoint it so the 1-row total
            # below doesn't re-scan the corpus a second time
            .localCheckpoint(eager=False))
     total = per.agg(F.sum("n_docs").alias("_total"))
     return (per.join(F.broadcast(total))
             .select("source", "n_docs", "n_chars", "n_tokens",
-                    "mean_quality",
+                    F.round(F.col("_q6") /
+                            (F.col("n_docs") * F.lit(1e6)), 6)
+                     .alias("mean_quality"),
                     F.round(F.col("n_docs") / F.col("_total"), 6)
                      .alias("doc_share"))
             .orderBy("source"))

@@ -92,23 +92,23 @@ def test_entry_smoke(spark):
     assert sch.get("type") in ("object", ["object"])
 
 
-def test_parity_invariant_to_shuffle_partitioning(spark, ddb):
-    """The driver may run any session shape: re-check the queries whose
-    plans involve range buckets / LSH joins / iterative label
-    propagation under a very different shuffle width. Results must be
-    identical — any dependence on partition count is a bug."""
-    risky = ["ks_quantity_linestatus", "minhash_pairs_docs",
-             "near_dup_clusters_docs", "moment_drift_quantity",
-             "duplicate_keys_distributed"]
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_parity_invariant_to_shuffle_partitioning(name, spark, ddb):
+    """The driver may run any session shape: re-check EVERY oracle query
+    under a very different shuffle width (64 vs the suite's 8). Results
+    must be identical — any dependence on partition count (floating-sum
+    merge order, LSH bucket layout, window bucketing, label propagation)
+    is a bug. Round-3 verdict #8: source_mix_docs' avg(double) was
+    exactly such an order dependence; this sweep covers the whole list
+    so the next one fails here, not in the driver's hash gate."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "64")
-        for name in risky:
-            sdf = QUERIES[name](spark, SF)
-            s_rows = [tuple(r) for r in sdf.collect()]
-            rel = ddb.sql(ORACLES[name])
-            assert _rows_canon(sdf.columns, s_rows) == \
-                _rows_canon(list(rel.columns), rel.fetchall()), name
+        sdf = QUERIES[name](spark, SF)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        rel = ddb.sql(ORACLES[name])
+        assert _rows_canon(sdf.columns, s_rows) == \
+            _rows_canon(list(rel.columns), rel.fetchall()), name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 

@@ -377,3 +377,36 @@ def test_span_census_hot_span_does_not_concentrate_shuffle(spark):
     # and ships less than the raw exploded-span volume (1.4n span rows,
     # x2 for the count-distinct Expand = 2.8n if partial agg did nothing)
     assert w_hot < 1.4 * n, w_hot
+
+
+def test_exact_duplicates_bounded_on_degenerate_corpus(spark):
+    # one digest x 1e5 rows (the "10^8 empty docs" failure mode scaled
+    # down): the capped plan filters past max_ids BEFORE collect_list,
+    # so no aggregation buffer ever holds the full group, while n stays
+    # the exact multiplicity.
+    from schema_guru_spark.operators import dedup as D
+
+    df = spark.range(100_000).select(
+        F.col("id"), F.lit("same payload").alias("text"))
+    out = D.exact_duplicates(df, "text", "id", max_ids=50)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 100_000          # exact count survives the cap
+    assert len(rows[0]["ids"]) == 50        # bounded id list
+    assert list(rows[0]["ids"]) == sorted(rows[0]["ids"])
+    # the filter on row_number must sit below the collect_list aggregate:
+    # no unfiltered collect_list over the raw scan
+    plan = _plan(out)
+    assert "row_number" in plan
+    assert "collect_list" in plan
+
+
+def test_exact_duplicates_cap_no_change_below_cap(spark):
+    from schema_guru_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, "dup" if i < 4 else f"u{i}") for i in range(10)],
+        ["id", "text"])
+    rows = D.exact_duplicates(df, "text", "id").collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 4 and list(rows[0]["ids"]) == [0, 1, 2, 3]

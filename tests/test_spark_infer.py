@@ -215,3 +215,28 @@ def test_enum_corpus_spark_equals_kernel_up_to_order(spark, tmp_path):
     props = got["properties"]
     assert sorted(props["few"]["enum"]) == ["a", "b", "c"]
     assert "enum" not in props["many"]  # over cutoff -> tombstoned
+
+
+def test_widen_small_scan_falls_back_on_stats_api_change(spark, monkeypatch):
+    # _widen_small_scan reads a private JVM API
+    # (queryExecution().optimizedPlan().stats()); a Spark upgrade that
+    # changes the call chain must degrade to the unwidened plan, not
+    # raise mid-inference. Pin the fallback by making the probe blow up.
+    from schema_guru_spark.operators.infer import _widen_small_scan
+
+    df = spark.range(10).selectExpr("cast(id as string) as content")
+
+    class _Boom:
+        def __getattr__(self, name):  # any JVM call (queryExecution, ...)
+            raise RuntimeError("stats API removed in this Spark version")
+
+    monkeypatch.setattr(df, "_jdf", _Boom(), raising=False)
+    out = _widen_small_scan(df)
+    assert out is df  # plan unchanged, no exception escaped
+
+
+def test_widen_small_scan_noop_on_tiny_input(spark):
+    from schema_guru_spark.operators.infer import _widen_small_scan
+
+    df = spark.range(100).selectExpr("cast(id as string) as content")
+    assert _widen_small_scan(df) is df  # < 8 MiB: never widened

@@ -225,3 +225,17 @@ def test_source_mix_report(spark):
     assert out["b"]["doc_share"] == round(1 / 3, 6)
     assert out["a"]["mean_quality"] > out["b"]["mean_quality"]
     assert out["b"]["n_chars"] == 1 and out["b"]["n_tokens"] == 1
+
+
+def test_source_mix_report_partition_invariant(spark, sf_dir):
+    # round-3 verdict #2: avg(double) made mean_quality depend on the
+    # partition merge order and finally landed on a rounding boundary.
+    # The exact 1e-6-quantized aggregation must produce identical bytes
+    # at any partitioning.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    runs = []
+    for n_parts in (1, 7, 32):
+        out = TS.source_mix_report(
+            docs.repartition(n_parts), "text", "source").collect()
+        runs.append([tuple(r) for r in out])
+    assert runs[0] == runs[1] == runs[2]
