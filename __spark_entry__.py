@@ -329,6 +329,28 @@ def q_png_decode_features(spark, sf):
     ).orderBy("id")
 
 
+def q_mjpeg_frame_features(spark, sf):
+    # REAL compressed-video decode: rows carry actual Motion-JPEG AVIs
+    # (each frame an independent baseline JPEG) of the deterministic
+    # flat-8x8-block pattern; every 2nd frame is entropy-decoded and
+    # featurized. With the all-ones quant table flat blocks round-trip
+    # bit-exactly, so the oracle recomputes per-frame channel means
+    # analytically over BLOCK indices — a hash match proves the full
+    # MJPEG path (RIFF walk + per-frame Huffman decode + IDCT) is
+    # lossless on this pattern.
+    from schema_guru_spark.operators import multimodal as MM
+    ids = _t(spark, sf, "documents").where(F.col("doc_id") < 40) \
+        .select("doc_id")
+    feats = MM.decode_video_features(MM.attach_mjpeg_media(ids, "doc_id"),
+                                     id_col="doc_id", every_n=2)
+    return feats.select(
+        "id", "frame_idx", "n_frames", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("id", "frame_idx")
+
+
 def q_jpeg_decode_features(spark, sf):
     # REAL compressed-image decode: rows carry actual baseline JPEGs
     # (Huffman entropy coding + DCT + quantization) of a deterministic
@@ -599,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_features": q_jpeg_decode_features,
         "wav_decode_features": q_wav_decode_features,
         "avi_frame_features": q_avi_frame_features,
+        "mjpeg_frame_features": q_mjpeg_frame_features,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
@@ -1218,6 +1241,38 @@ def oracle_sql() -> dict[str, str]:
                    round(avg((7*x + 13*y + 58 + 17*frame_idx + 31*id)
                              % 256), 6) AS mean_b
             FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY id, frame_idx
+        """,
+        "mjpeg_frame_features": """
+            -- analytic twin of the MJPEG flat-block pattern
+            -- block(bx,by,c,t) = (7bx + 13by + 29c + 17t + 31*id) mod 256
+            -- mean over pixels == mean over blocks (each block is 64
+            -- identical pixels), so the oracle never touches a codec
+            WITH ids AS (
+              SELECT doc_id AS id,
+                     (doc_id % 3 + 1)::INT AS wb,
+                     (doc_id % 2 + 1)::INT AS hb,
+                     (doc_id % 4 + 2)::INT AS n_frames
+              FROM documents WHERE doc_id < 40),
+            sampled AS (
+              SELECT i.*, gt.t AS frame_idx
+              FROM ids i, generate_series(0, 4) gt(t)
+              WHERE gt.t < i.n_frames AND gt.t % 2 = 0),
+            blk AS (
+              SELECT s.id, s.frame_idx, s.n_frames, s.wb, s.hb,
+                     gx.bx, gy.by
+              FROM sampled s,
+                   generate_series(0, 2) gx(bx),
+                   generate_series(0, 1) gy(by)
+              WHERE gx.bx < s.wb AND gy.by < s.hb)
+            SELECT id, frame_idx::INT AS frame_idx, n_frames,
+                   (wb * 8)::INT AS width, (hb * 8)::INT AS height,
+                   round(avg((7*bx + 13*by + 17*frame_idx + 31*id) % 256),
+                         6) AS mean_r,
+                   round(avg((7*bx + 13*by + 29 + 17*frame_idx + 31*id)
+                             % 256), 6) AS mean_g,
+                   round(avg((7*bx + 13*by + 58 + 17*frame_idx + 31*id)
+                             % 256), 6) AS mean_b
+            FROM blk GROUP BY 1, 2, 3, 4, 5 ORDER BY id, frame_idx
         """,
         "wav_decode_features": """
             -- analytic twin of the WAV test pattern

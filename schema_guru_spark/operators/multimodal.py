@@ -12,9 +12,13 @@ signatures — is real and tested. The decode step supports three paths:
     starting with the SOI marker is actually decoded; progressive /
     subsampled / restart-interval streams raise NotImplementedError
     (declared scope, not a fake).
+  * REAL Motion-JPEG video decode via ``operators/avi.py`` +
+    ``operators/jpeg.py`` — 'MJPG' AVI streams are entropy-decoded
+    frame by frame (each frame an independent baseline JPEG).
   * a deterministic fake decoder (byte-stats pseudo-pixels) behind
     ``fake=True`` for shape tests and for container formats with no
-    in-container codec (H.264 etc. stay declared stubs).
+    in-container codec (inter-frame codecs like H.264 stay declared
+    stubs).
 
 Schema convention:
     media struct<data: binary, meta: struct<kind: string, format: string,
@@ -34,7 +38,9 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from schema_guru_spark.operators.png import (
     PNG_SIGNATURE, decode_png, encode_png,
 )
-from schema_guru_spark.operators.avi import decode_avi_rgb, encode_avi_rgb
+from schema_guru_spark.operators.avi import (
+    decode_avi_rgb, encode_avi_mjpeg, encode_avi_rgb,
+)
 from schema_guru_spark.operators.jpeg import (
     FLAT_QUANT, JPEG_SOI, decode_jpeg, encode_jpeg,
 )
@@ -269,6 +275,57 @@ def attach_avi_media(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(id_col).mapInPandas(fn, out_schema)
 
 
+def mjpeg_dims(rid: int):
+    """Per-id MJPEG fixture dims in BLOCKS plus frame count
+    (w_blocks, h_blocks, n_frames) — 8x8-aligned so the flat-block
+    frames round-trip bit-exactly through the baseline-JPEG codec."""
+    return (rid % 3 + 1, rid % 2 + 1, rid % 4 + 2)
+
+
+def _mjpeg_frames(rid: int) -> np.ndarray:
+    """Deterministic flat-8x8-block VIDEO test pattern for id ``rid``:
+        block(bx, by, c, t) = (7*bx + 13*by + 29*c + 17*t + 31*rid) mod 256
+    Flat blocks + the all-ones quant table make each baseline-JPEG frame
+    LOSSLESS on this pattern (same trick as ``_jpeg_pixels``), so the
+    DuckDB oracle recomputes per-frame channel means analytically over
+    block indices and a hash match proves the full MJPEG path — RIFF
+    walk, per-frame Huffman entropy decode, dequantize, IDCT —
+    round-trips the encoder with zero loss."""
+    rid = int(rid)
+    wb, hb, n = mjpeg_dims(rid)
+    bx = np.arange(wb)[None, None, :, None]
+    by = np.arange(hb)[None, :, None, None]
+    c = np.arange(3)[None, None, None, :]
+    t = np.arange(n)[:, None, None, None]
+    blocks = ((7 * bx + 13 * by + 29 * c + 17 * t + 31 * rid) % 256) \
+        .astype(np.uint8)
+    return np.repeat(np.repeat(blocks, 8, axis=1), 8, axis=2)
+
+
+def attach_mjpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL compressed-video media column: each row carries an actual
+    Motion-JPEG AVI (every frame an independent baseline JPEG) of the
+    deterministic flat-block pattern. Arrow-batched."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = []
+            for rid in pdf[id_col]:
+                fr = _mjpeg_frames(rid)
+                medias.append({
+                    "data": encode_avi_mjpeg(fr, fps=10),
+                    "meta": {"kind": "video", "format": "mjpeg",
+                             "width": fr.shape[2], "height": fr.shape[1],
+                             "duration_ms": fr.shape[0] * 100}})
+            yield pd.DataFrame({id_col: pdf[id_col], "media": medias})
+
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("media", MEDIA_SCHEMA),
+    ])
+    return df.select(id_col).mapInPandas(fn, out_schema)
+
+
 def decode_video_features(df: DataFrame, media_col: str = "media",
                           id_col: str = "id",
                           every_n: int = 2) -> DataFrame:
@@ -276,9 +333,11 @@ def decode_video_features(df: DataFrame, media_col: str = "media",
     AVI payload is decoded and featurized — one output row per sampled
     frame (id, frame_idx, n_frames, width, height, mean_r/g/b). This is
     ``frame_sample_plan`` made physical: the plan enumerates timestamps,
-    this decodes the frames those timestamps select. Non-AVI payloads
-    raise NotImplementedError (compressed codecs are out of container
-    scope — declared, not faked)."""
+    this decodes the frames those timestamps select. Handles both
+    in-container codecs (uncompressed BI_RGB and Motion JPEG — the
+    dispatch lives in ``decode_avi_rgb``); non-AVI payloads raise
+    NotImplementedError (inter-frame codecs are out of container scope
+    — declared, not faked)."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
 

@@ -268,6 +268,71 @@ def test_avi_and_video_guards(spark):
             id_col="doc_id", every_n=0)
 
 
+def test_mjpeg_flat_block_frames_bit_exact():
+    import numpy as np
+    from schema_guru_spark.operators.avi import (
+        decode_avi_rgb, encode_avi_mjpeg)
+
+    for rid in range(12):
+        fr = MM._mjpeg_frames(rid)
+        back, fps = decode_avi_rgb(encode_avi_mjpeg(fr, fps=10))
+        assert fps == 10 and np.array_equal(back, fr), rid
+
+
+def test_mjpeg_roundtrip_tolerance_on_arbitrary_frames():
+    # arbitrary (non-flat-block) content: baseline JPEG with the flat
+    # quant table is near-lossless — coefficient rounding allows +/-1
+    import numpy as np
+    from schema_guru_spark.operators.avi import (
+        decode_avi_rgb, encode_avi_mjpeg)
+
+    rng = np.random.RandomState(3)
+    fr = rng.randint(0, 256, size=(3, 9, 7, 3)).astype(np.uint8)
+    back, _ = decode_avi_rgb(encode_avi_mjpeg(fr))
+    assert back.shape == fr.shape
+    assert np.abs(back.astype(int) - fr.astype(int)).max() <= 1
+
+
+def test_mjpeg_frame_header_mismatch_is_valueerror():
+    # an MJPG frame whose decoded dims disagree with the AVI header must
+    # raise the contract error, not silently mis-shape downstream numpy
+    import struct
+    import numpy as np
+    from schema_guru_spark.operators.avi import (
+        decode_avi_rgb, encode_avi_mjpeg)
+
+    fr = MM._mjpeg_frames(1)
+    data = bytearray(encode_avi_mjpeg(fr, fps=10))
+    i = data.index(b"avih")
+    # avih dwWidth/dwHeight are the 9th/10th u32 of the body
+    struct.pack_into("<II", data, i + 8 + 32, 999, 999)
+    with pytest.raises(ValueError, match="header says"):
+        decode_avi_rgb(bytes(data))
+
+
+def test_real_mjpeg_decode_frame_features(spark):
+    import numpy as np
+
+    ids = spark.range(8).select(F.col("id").alias("doc_id"))
+    feats = MM.decode_video_features(MM.attach_mjpeg_media(ids, "doc_id"),
+                                     id_col="doc_id", every_n=2)
+    rows = feats.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    for rid in range(8):
+        fr = MM._mjpeg_frames(rid)
+        n = fr.shape[0]
+        sampled = sorted(by_id[rid], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in sampled] == list(range(0, n, 2))
+        for r in sampled:
+            f = fr[r["frame_idx"]].astype(np.float64)
+            # flat blocks -> bit-exact decode -> exact means
+            assert r["mean_r"] == f[:, :, 0].mean()
+            assert r["mean_b"] == f[:, :, 2].mean()
+            assert (r["width"], r["height"]) == (fr.shape[2], fr.shape[1])
+
+
 # -- JPEG codec (removes the last declared image stub) ----------------------
 
 
@@ -375,7 +440,8 @@ def test_codec_fuzz_contract(seed, n_flips):
     corrupt payload must not kill an executor with an uncontracted
     exception.)"""
     import numpy as np
-    from schema_guru_spark.operators.avi import decode_avi_rgb, encode_avi_rgb
+    from schema_guru_spark.operators.avi import (
+        decode_avi_rgb, encode_avi_mjpeg, encode_avi_rgb)
     from schema_guru_spark.operators.jpeg import (
         FLAT_QUANT, decode_jpeg, encode_jpeg)
     from schema_guru_spark.operators.png import decode_png, encode_png
@@ -390,6 +456,7 @@ def test_codec_fuzz_contract(seed, n_flips):
         (decode_jpeg, encode_jpeg(img, FLAT_QUANT)),
         (decode_wav, encode_wav(samples, 8000)),
         (decode_avi_rgb, encode_avi_rgb(frames, fps=10)),
+        (decode_avi_rgb, encode_avi_mjpeg(frames, fps=10)),
     ]
     for decode, data in payloads:
         buf = bytearray(data)
