@@ -329,6 +329,25 @@ def q_png_decode_features(spark, sf):
     ).orderBy("id")
 
 
+def q_progressive_jpeg_features(spark, sf):
+    # REAL progressive (SOF2) decode: the same flat-block pattern as
+    # jpeg_decode_features serialized as a six-scan progressive stream
+    # (DC first/refine, AC first/refine over two spectral bands, EOB-run
+    # coding). Flat blocks + unit quant stay bit-exact, so the identical
+    # analytic oracle pins the whole multi-scan path with zero loss.
+    from schema_guru_spark.operators import multimodal as MM
+    ids = _t(spark, sf, "documents").where(F.col("doc_id") < 40) \
+        .select("doc_id")
+    feats = MM.decode_and_featurize(
+        MM.attach_progressive_jpeg_media(ids, "doc_id"), id_col="doc_id")
+    return feats.select(
+        "id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("id")
+
+
 def q_mjpeg_frame_features(spark, sf):
     # REAL compressed-video decode: rows carry actual Motion-JPEG AVIs
     # (each frame an independent baseline JPEG) of the deterministic
@@ -593,7 +612,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_keys_source": q_duplicate_keys_source,
         "segment_props": q_segment_props,
         "latest_event_per_user": q_latest_event_per_user,
-        "uniqueness_orders": q_uniqueness_orders,
         "uniqueness_lineitem_pk": q_uniqueness_lineitem_pk,
         "ri_orders_customer": q_ri_orders_customer,
         "duplicate_rows_events_user": q_duplicate_rows_events_user_ts,
@@ -622,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_decode_features": q_wav_decode_features,
         "avi_frame_features": q_avi_frame_features,
         "mjpeg_frame_features": q_mjpeg_frame_features,
+        "progressive_jpeg_features": q_progressive_jpeg_features,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
@@ -637,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_keys_distributed": q_duplicate_keys_distributed,
         "simhash_fp_docs": q_simhash_fp_docs,
         "fingerprint_md5_docs": q_fingerprint_md5_docs,
+        "uniqueness_orders": q_uniqueness_orders,
     }
 
 
@@ -1241,6 +1261,30 @@ def oracle_sql() -> dict[str, str]:
                    round(avg((7*x + 13*y + 58 + 17*frame_idx + 31*id)
                              % 256), 6) AS mean_b
             FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY id, frame_idx
+        """,
+        "progressive_jpeg_features": """
+            -- analytic twin of the flat-block pattern, decoded from a
+            -- six-scan PROGRESSIVE (SOF2) stream — same formula as
+            -- jpeg_decode_features because progressive re-serializes
+            -- the same quantized coefficients losslessly
+            WITH ids AS (
+              SELECT doc_id AS id,
+                     (doc_id % 3 + 2)::INT AS wb,
+                     (doc_id % 2 + 2)::INT AS hb
+              FROM documents WHERE doc_id < 40),
+            px AS (
+              SELECT i.id, i.wb, i.hb, gx.x AS bx, gy.y AS by
+              FROM ids i,
+                   generate_series(0, 4) gx(x),
+                   generate_series(0, 3) gy(y)
+              WHERE gx.x < i.wb AND gy.y < i.hb)
+            SELECT id, (wb * 8)::INT AS width, (hb * 8)::INT AS height,
+                   round(avg((7*bx + 13*by + 31*id) % 256), 6) AS mean_r,
+                   round(avg((7*bx + 13*by + 29 + 31*id) % 256), 6)
+                     AS mean_g,
+                   round(avg((7*bx + 13*by + 58 + 31*id) % 256), 6)
+                     AS mean_b
+            FROM px GROUP BY 1, 2, 3 ORDER BY id
         """,
         "mjpeg_frame_features": """
             -- analytic twin of the MJPEG flat-block pattern

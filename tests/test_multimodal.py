@@ -378,6 +378,79 @@ def test_jpeg_roundtrip_property_tolerance(h, w, ch, seed):
     assert np.abs(out.astype(int) - arr.astype(int)).max() <= 4
 
 
+@settings(max_examples=40, deadline=None)
+@given(h=st.integers(1, 24), w=st.integers(1, 24),
+       ch=st.sampled_from([1, 3]), seed=st.integers(0, 2**31 - 1),
+       flat=st.booleans())
+def test_progressive_equals_baseline_property(h, w, ch, seed, flat):
+    """Progressive (SOF2) is a different SERIALIZATION of the same
+    quantized coefficients: decoding the six-scan progressive stream
+    must give bit-identical pixels to decoding the baseline stream of
+    the same image+quant — pins all four Annex G scan kinds (DC
+    first/refine, AC first/refine, EOB-run coding) against the
+    sequential path."""
+    import numpy as np
+    from schema_guru_spark.operators.jpeg import (
+        FLAT_QUANT, STD_QUANT, decode_jpeg, encode_jpeg,
+        encode_jpeg_progressive)
+
+    rng = np.random.RandomState(seed)
+    quant = FLAT_QUANT if flat else STD_QUANT
+    img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    if ch == 1:
+        img = img[:, :, 0]
+    base = decode_jpeg(encode_jpeg(img, quant))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quant))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_flat_blocks_bit_exact():
+    import numpy as np
+    from schema_guru_spark.operators.jpeg import (
+        FLAT_QUANT, decode_jpeg, encode_jpeg_progressive)
+
+    for rid in range(12):
+        img = MM._jpeg_pixels(rid)
+        out = decode_jpeg(encode_jpeg_progressive(img, FLAT_QUANT))
+        assert np.array_equal(out, img), rid
+
+
+def test_progressive_scan_guards():
+    import numpy as np
+    import pytest as _pt
+    from schema_guru_spark.operators.jpeg import (
+        FLAT_QUANT, decode_jpeg, encode_jpeg_progressive)
+
+    data = encode_jpeg_progressive(
+        np.arange(64, dtype=np.uint8).reshape(8, 8), FLAT_QUANT)
+    with _pt.raises(ValueError):
+        decode_jpeg(data[:-3])            # truncated final scan
+    # corrupt a scan's spectral band: SOS layout is marker(2) len(2)
+    # ns(1) comps(2*ns) Ss Se AhAl
+    i = data.index(b"\xff\xda")
+    ns = data[i + 4]
+    bad = bytearray(data)
+    bad[i + 5 + 2 * ns] = 64              # Ss=64 > 63
+    with _pt.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+
+def test_real_progressive_jpeg_decode_features(spark):
+    import numpy as np
+
+    ids = spark.range(8).select(F.col("id").alias("doc_id"))
+    feats = MM.decode_and_featurize(
+        MM.attach_progressive_jpeg_media(ids, "doc_id"), id_col="doc_id")
+    rows = {r["id"]: r for r in feats.collect()}
+    for rid in range(8):
+        img = MM._jpeg_pixels(rid).astype(np.float64)
+        r = rows[rid]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        # flat blocks -> lossless progressive decode -> exact means
+        assert r["mean_r"] == img[:, :, 0].mean()
+        assert r["mean_g"] == img[:, :, 1].mean()
+
+
 def test_jpeg_codec_rejects_corruption_and_scope():
     import numpy as np
     import pytest as _pt
@@ -392,12 +465,20 @@ def test_jpeg_codec_rejects_corruption_and_scope():
         decode_jpeg(data[:25])                # truncated in a segment
     with _pt.raises(ValueError):
         decode_jpeg(data[:-4])                # truncated entropy stream
-    # declared out-of-scope: progressive (SOF2) raises loudly
+    # progressive is now IN scope, but a baseline stream with the SOF
+    # marker flipped to SOF2 is an INVALID progressive file (its scan
+    # says Ss=0..Se=63, illegal for progressive) — ValueError, not a
+    # silent mis-decode
     prog = bytearray(data)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with _pt.raises(NotImplementedError, match="baseline"):
+    with _pt.raises(ValueError, match="mixing DC and AC"):
         decode_jpeg(bytes(prog))
+    # still-declared out-of-scope SOFs raise loudly
+    lossless = bytearray(data)
+    lossless[sof + 1] = 0xC3
+    with _pt.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(bytes(lossless))
     # truncation INSIDE a DHT segment's bits table must keep the
     # ValueError contract (was IndexError — r03 review finding)
     import struct
@@ -443,7 +524,7 @@ def test_codec_fuzz_contract(seed, n_flips):
     from schema_guru_spark.operators.avi import (
         decode_avi_rgb, encode_avi_mjpeg, encode_avi_rgb)
     from schema_guru_spark.operators.jpeg import (
-        FLAT_QUANT, decode_jpeg, encode_jpeg)
+        FLAT_QUANT, decode_jpeg, encode_jpeg, encode_jpeg_progressive)
     from schema_guru_spark.operators.png import decode_png, encode_png
     from schema_guru_spark.operators.wav import decode_wav, encode_wav
 
@@ -457,6 +538,7 @@ def test_codec_fuzz_contract(seed, n_flips):
         (decode_wav, encode_wav(samples, 8000)),
         (decode_avi_rgb, encode_avi_rgb(frames, fps=10)),
         (decode_avi_rgb, encode_avi_mjpeg(frames, fps=10)),
+        (decode_jpeg, encode_jpeg_progressive(img, FLAT_QUANT)),
     ]
     for decode, data in payloads:
         buf = bytearray(data)
