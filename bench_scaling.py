@@ -55,6 +55,8 @@ def main() -> None:
     ap.add_argument("--n-cores", type=int, default=2)
     ap.add_argument("--out", default=os.path.join("BENCH", "BASELINE.md"),
                     help="report path relative to the repo root")
+    ap.add_argument("--label", default="run",
+                    help="name for this run in the history table")
     args = ap.parse_args()
     n4 = args.n_cores * 4
 
@@ -65,6 +67,17 @@ def main() -> None:
             [sys.executable, RUNNER, "--synthesize", str(args.files),
              "--cpus", str(n4)],
             capture_output=True, text=True, check=True, cwd=REPO)
+
+    # a scaling comparison on a contended host is garbage (an r04 run
+    # overlapped a pytest suite and recorded 0.70 on code that measures
+    # 0.81-0.97 quiet) — refuse to measure unless the host is idle
+    load_at_start = os.getloadavg()[0]
+    load = load_at_start
+    if load > 2.0:
+        print(f"host busy (1-min load {load:.2f} > 2.0): refusing to "
+              f"run a scaling measurement; retry when idle",
+              file=sys.stderr)
+        sys.exit(2)
 
     print(f"warm-up leg ({n4} cores)...", file=sys.stderr)
     run_leg(synth_dir, n4, args.files)
@@ -103,6 +116,35 @@ def main() -> None:
 
     md = os.path.join(REPO, args.out)
     os.makedirs(os.path.dirname(md), exist_ok=True)
+
+    # append-only run history: this host's virtualized CPUs carry
+    # documented ±25-30% day-to-day variance, so a single run's
+    # efficiency is meaningless without the series — keep every run and
+    # render the table into the report instead of overwriting it away
+    hist_path = os.path.join(os.path.dirname(md), "scaling_history.jsonl")
+    hist_row = {"label": args.label,
+                "efficiency": report["value"],
+                "files_per_sec_N": thr_n, "files_per_sec_4N": thr_4n,
+                "wall_sec_N": report["wall_sec_N"],
+                "wall_sec_4N": report["wall_sec_4N"],
+                "n_files": args.files, "repeats": args.repeats,
+                # pre-run load (sampled at the idle-guard): the load the
+                # MEASUREMENT ran under — sampling here would read the
+                # bench's own legs back as "contention"
+                "loadavg_1m": round(load_at_start, 2)}
+    with open(hist_path, "a") as f:
+        f.write(json.dumps(hist_row) + "\n")
+    hist_lines = []
+    with open(hist_path) as f:
+        for ln in f:
+            h = json.loads(ln)
+            hist_lines.append(
+                f"| {h.get('label', 'run')} | {h['efficiency']:.3f} "
+                f"| {h['files_per_sec_4N']:,.0f} "
+                f"| {h.get('loadavg_1m', '?')} |")
+    hist_md = ("\n## Run history (same protocol; every row is real)\n\n"
+               "| run | efficiency | files/sec at 4N | 1-min load |\n"
+               "|---|---|---|---|\n" + "\n".join(hist_lines) + "\n")
     with open(md, "w") as f:
         f.write(f"""# BENCH/BASELINE — measured throughput + scaling efficiency
 
@@ -142,7 +184,7 @@ hll_rel_err={legs[n4]['constraints']['hll_rel_err']},
 worst_bucket_psi={legs[n4]['constraints']['worst_bucket_psi']}.
 
 Reproduce: `python bench_scaling.py --files {args.files} --repeats {args.repeats}`
-
+{hist_md}
 Raw legs:
 
 ```json
