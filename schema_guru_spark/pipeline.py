@@ -160,6 +160,10 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
     derivation folded into per-(task, bucket) states."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from schema_guru_spark.core.accumulate import accumulate_doc
+
         states: dict[int, dict] = {}
         counters: dict[int, dict] = {}
 
@@ -170,14 +174,25 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
             return counters[b]
 
         for pdf in batches:
-            # vectorized row checks (flags were computed JVM-side)
-            for b, grp in pdf.groupby("bucket"):
+            # vectorized row checks (flags were computed JVM-side):
+            # counters via one np.unique + bincounts — a pandas
+            # groupby-loop here cost more than the derive kernel itself
+            # on 64-bucket batches (measured: full scan pass 12.9s vs
+            # 6.0s for Arrow transfer + kernel at 8 cores / 8M rows)
+            bk = pdf["bucket"].to_numpy()
+            sha_ok = pdf["sha_ok"].to_numpy()
+            lang_ok = pdf["lang_ok"].to_numpy()
+            ubk, inv = np.unique(bk, return_inverse=True)
+            n_rows_b = np.bincount(inv)
+            n_sha_b = np.bincount(inv, weights=~sha_ok)
+            n_lang_b = np.bincount(inv, weights=~lang_ok)
+            for i, b in enumerate(ubk.tolist()):
                 c = bucket_counter(int(b))
-                c["n_rows"] += len(grp)
-                c["n_sha_bad"] += int((~grp["sha_ok"]).sum())
-                c["n_lang_bad"] += int((~grp["lang_ok"]).sum())
+                c["n_rows"] += int(n_rows_b[i])
+                c["n_sha_bad"] += int(n_sha_b[i])
+                c["n_lang_bad"] += int(n_lang_b[i])
 
-            viol_mask = ~(pdf["sha_ok"] & pdf["lang_ok"])
+            viol_mask = ~(sha_ok & lang_ok)
             if viol_mask.any():
                 bad = pdf[viol_mask].head(max_violation_examples)
                 out = pd.DataFrame({
@@ -193,50 +208,58 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
                 })
                 yield out
 
-            is_json = pdf["lang"] == "json"
-            if is_json.any():
-                import numpy as np
-
+            jidx = np.flatnonzero(pdf["lang"].to_numpy() == "json")
+            if len(jidx):
+                # unique-doc fast path, ONE factorize per batch (the
+                # monoid stabilizes after one self-merge — see
+                # operators/infer.py). Per-(bucket, doc) multiplicities
+                # come from one np.unique over a fused int key; a doc
+                # repeated across buckets parses once per batch.
+                content = pdf["content"].take(jidx)
+                jbk = bk[jidx]
+                codes, uniques = pd.factorize(content, use_na_sentinel=True)
+                u_width = len(uniques) + 1
+                fused = jbk.astype(np.int64) * u_width + (codes + 1)
+                ukey, first_idx, kcounts = np.unique(
+                    fused, return_index=True, return_counts=True)
+                parsed: list = []
+                parse_err: list = []
+                for text in uniques:
+                    try:
+                        parsed.append(fast_loads(text))
+                        parse_err.append(None)
+                    except (ValueError, TypeError) as e:
+                        parsed.append(None)
+                        parse_err.append(f"invalid JSON: {e}")
                 errs: list[tuple] = []
-                # unique-doc fast path per bucket (see operators/infer.py:
-                # the monoid stabilizes after one self-merge)
-                for b, grp in pdf[is_json].groupby("bucket"):
-                    b = int(b)
+                jrepo = None  # repo attribution is error-only: stay lazy
+                for key, fi, cnt in zip(ukey.tolist(), first_idx.tolist(),
+                                        kcounts.tolist()):
+                    b = key // u_width
+                    code = key % u_width - 1
                     c = bucket_counter(b)
-                    codes, uniques = pd.factorize(grp["content"],
-                                                  use_na_sentinel=True)
-                    counts = np.bincount(codes[codes >= 0],
-                                         minlength=len(uniques)).tolist()
-                    first_repo = {}
-                    if len(uniques):
-                        firsts = grp["repo"].groupby(codes).first()
-                        first_repo = firsts.to_dict()
-                    n_null = int((codes < 0).sum())
-                    if n_null:
-                        c["n_json_err"] += n_null
-                        repo0 = grp["repo"].iloc[0]
-                        errs.extend([(b, repo0, "json", "null content")] * n_null)
-                    from schema_guru_spark.core.accumulate import accumulate_doc
+                    if code < 0 or parse_err[code] is not None:
+                        msg = ("null content" if code < 0
+                               else parse_err[code])
+                        c["n_json_err"] += cnt
+                        if jrepo is None:
+                            jrepo = pdf["repo"].to_numpy()[jidx]
+                        errs.extend([(b, jrepo[fi], "json", msg)] * cnt)
+                        continue
                     st = states.get(b)
                     if st is None:
                         st = states[b] = {}
-                    for u, (text, cnt) in enumerate(zip(uniques, counts)):
-                        repo = first_repo.get(u, "")
-                        try:
-                            value = fast_loads(text)
-                        except (ValueError, TypeError) as e:
-                            c["n_json_err"] += cnt
-                            errs.extend([(b, repo, "json",
-                                          f"invalid JSON: {e}")] * cnt)
-                            continue
-                        try:
+                    value = parsed[code]
+                    try:
+                        accumulate_doc(st, value, ctx)
+                        if cnt > 1:
                             accumulate_doc(st, value, ctx)
-                            if cnt > 1:
-                                accumulate_doc(st, value, ctx)
-                            c["n_json_ok"] += cnt
-                        except ValueError as e:
-                            c["n_json_err"] += cnt
-                            errs.extend([(b, repo, "json", str(e))] * cnt)
+                        c["n_json_ok"] += cnt
+                    except ValueError as e:
+                        c["n_json_err"] += cnt
+                        if jrepo is None:
+                            jrepo = pdf["repo"].to_numpy()[jidx]
+                        errs.extend([(b, jrepo[fi], "json", str(e))] * cnt)
                 if errs:
                     e = pd.DataFrame(errs, columns=["bucket", "repo", "lang",
                                                     "payload"])
