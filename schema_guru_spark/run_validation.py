@@ -109,23 +109,33 @@ def main(argv=None) -> dict:
         spark.catalog.clearCache()
 
     t0 = time.perf_counter()
-    res = validate_repo_table(spark, df, checkpoint_dir=args.checkpoint,
-                              n_buckets=args.buckets, n_salts=args.salts,
-                              chunk_size=args.chunk_size,
-                              max_err_rate=args.max_err_rate)
-    agg = res.verdicts.agg(
-        F.sum("n_rows").alias("rows"),
-        F.sum("n_json_ok").alias("json_ok"),
-        F.sum("n_json_err").alias("json_err"),
-        F.sum("n_sha_bad").alias("sha_bad"),
-        F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("passed"),
-        F.count(F.lit(1)).alias("buckets"),
-    ).collect()[0]
-    n_violations = res.violations.count()
-    t_validate = time.perf_counter() - t0
-
-    rep = constraint_report(spark, df, n_buckets=args.buckets,
-                            n_salts=args.salts)
+    # the constraint suite and the validation scan are INDEPENDENT
+    # passes over the same table — submit the constraint jobs from a
+    # second thread so the scheduler pipelines them into the task slots
+    # the Python-bound derive pass leaves idle (the scan tasks spend
+    # most of their JVM time blocked on Arrow round-trips to the Python
+    # workers, while the constraint jobs are pure JVM). Same pattern as
+    # constraint_report's own internal fan-out; on a real cluster this
+    # is two concurrent jobs in one SparkSession, standard scheduling.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        f_rep = ex.submit(constraint_report, spark, df,
+                          n_buckets=args.buckets, n_salts=args.salts)
+        res = validate_repo_table(spark, df, checkpoint_dir=args.checkpoint,
+                                  n_buckets=args.buckets, n_salts=args.salts,
+                                  chunk_size=args.chunk_size,
+                                  max_err_rate=args.max_err_rate)
+        agg = res.verdicts.agg(
+            F.sum("n_rows").alias("rows"),
+            F.sum("n_json_ok").alias("json_ok"),
+            F.sum("n_json_err").alias("json_err"),
+            F.sum("n_sha_bad").alias("sha_bad"),
+            F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("passed"),
+            F.count(F.lit(1)).alias("buckets"),
+        ).collect()[0]
+        n_violations = res.violations.count()
+        t_validate = time.perf_counter() - t0
+        rep = f_rep.result()
     dt = time.perf_counter() - t0
     out = {
         "rows": agg["rows"], "json_ok": agg["json_ok"],
