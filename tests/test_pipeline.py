@@ -423,3 +423,85 @@ def test_keyed_infer_parses_each_distinct_doc_once():
     assert counts == ref_counts
     for k in ref_accs:
         assert dumps(accs[k]) == dumps(ref_accs[k])
+
+
+def test_scan_pass_vectorized_equals_naive_reference():
+    """The vectorized per-batch scan pass (one factorize per batch,
+    fused (bucket, doc) key, lazy repo attribution) must produce the
+    exact counters, states and violation rows a naive per-row reference
+    would — on a batch that exercises every branch at once: cross-bucket
+    duplicate docs (parse-once path), repeated docs in one bucket
+    (self-merge law), parse errors, null content, non-json rows, and
+    sha/lang violations."""
+    import pandas as pd
+
+    from schema_guru_spark.core.accumulate import accumulate_doc
+    from schema_guru_spark.core.context import SchemaContext
+    from schema_guru_spark.core.json_fast import loads as fast_loads
+    from schema_guru_spark.core.microschema import dumps
+    from schema_guru_spark.pipeline import _scan_pass
+
+    ctx = SchemaContext.make(0)
+    doc_a = '{"k": 1}'
+    doc_b = '{"k": "x", "n": 2.5}'
+    rows = [
+        # (bucket, repo, lang, content, sha_ok, lang_ok)
+        (0, "r0", "json", doc_a, True, True),
+        (1, "r1", "json", doc_a, True, True),     # same doc, other bucket
+        (0, "r2", "json", doc_a, True, True),     # duplicate in bucket 0
+        (0, "r3", "json", doc_b, True, True),
+        (1, "r4", "json", "{broken", True, True),  # parse error
+        (1, "r5", "json", None, True, True),       # null content
+        (0, "r6", "py", None, True, True),         # non-json row
+        (1, "r7", "md", None, False, True),        # sha violation
+        (0, "r8", "go", None, True, False),        # lang violation
+    ]
+    pdf = pd.DataFrame(rows, columns=["bucket", "repo", "lang", "content",
+                                      "sha_ok", "lang_ok"])
+    out = list(_scan_pass(ctx, max_violation_examples=100)(iter([pdf])))
+    got = pd.concat(out, ignore_index=True)
+
+    # naive reference: per-row fold
+    ref_states: dict[int, dict] = {}
+    ref_counters: dict[int, dict] = {}
+    for b, repo, lang, content, sha_ok, lang_ok in rows:
+        c = ref_counters.setdefault(b, {"n_rows": 0, "n_json_ok": 0,
+                                        "n_json_err": 0, "n_sha_bad": 0,
+                                        "n_lang_bad": 0})
+        c["n_rows"] += 1
+        c["n_sha_bad"] += int(not sha_ok)
+        c["n_lang_bad"] += int(not lang_ok)
+        if lang != "json":
+            continue
+        if content is None:
+            c["n_json_err"] += 1
+            continue
+        try:
+            v = fast_loads(content)
+        except (ValueError, TypeError):
+            c["n_json_err"] += 1
+            continue
+        accumulate_doc(ref_states.setdefault(b, {}), v, ctx)
+        c["n_json_ok"] += 1
+
+    got_counters = {int(r["bucket"]): json.loads(r["payload"])
+                    for _, r in got[got["kind"] == "counter"].iterrows()}
+    assert got_counters == ref_counters
+
+    got_states = {int(r["bucket"]): r["payload"]
+                  for _, r in got[got["kind"] == "state"].iterrows()}
+    assert got_states == {b: dumps(s) for b, s in ref_states.items()}
+
+    viol = got[got["kind"] == "violation"]
+    # one row per violating instance, repo attributed to a real example
+    assert sorted(zip(viol["bucket"], viol["payload"])) == sorted([
+        (1, "sha256 mismatch"), (0, "lang not allowed"),
+        (1, "null content"),
+        (1, "invalid JSON: Expecting property name enclosed in double "
+            "quotes: line 1 column 2 (char 1)"),
+    ])
+    by_payload = dict(zip(viol["payload"], viol["repo"]))
+    assert by_payload["null content"] == "r5"
+    assert by_payload[
+        "invalid JSON: Expecting property name enclosed in double quotes: "
+        "line 1 column 2 (char 1)"] == "r4"
