@@ -1,0 +1,332 @@
+"""Minimal pure-Python Avro Object Container File codec.
+
+Implements the subset of the Avro 1.12 specification
+(https://avro.apache.org/docs/1.12.0/specification/) that Apache
+Iceberg's metadata files use: records, unions, arrays, maps, fixed,
+enums, and the primitive types, with the ``null`` and ``deflate``
+block codecs. This exists because the sandbox has no fastavro /
+pyiceberg and no network to fetch the iceberg-spark runtime jar —
+but the *format* is public and small, so the Iceberg metadata layer
+(`iceberg_meta.py`) can still be exercised end-to-end.
+
+Correctness is NOT self-certified: tests/test_iceberg_meta.py
+round-trips files against the JVM Avro implementation that ships
+inside the Spark distribution (avro-1.12.1.jar, via py4j), in both
+directions — files we write are read by Java Avro, files Java Avro
+writes are read by us.
+
+Driver-side metadata only. Data files are parquet read by Spark; a
+manifest is a few thousand records at most per the Iceberg spec's
+manifest-targeting (8 MB default target size), so a Python decode
+loop here is not on any per-row hot path.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from typing import Any, Iterable
+
+MAGIC = b"Obj\x01"
+SYNC = b"\x53\x47\x53\x50" * 4  # deterministic marker (no Math.random)
+
+
+# ---------------------------------------------------------------- decode
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        if len(b) != n:
+            raise EOFError("truncated avro data")
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        shift = 0
+        accum = 0
+        while True:
+            byte = self.buf[self.pos]
+            self.pos += 1
+            accum |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        return (accum >> 1) ^ -(accum & 1)  # zigzag
+
+    def read_bytes(self) -> bytes:
+        return self.read(self.read_long())
+
+
+def _parse_schema(schema: Any, named: dict[str, Any]) -> Any:
+    """Normalize a schema node, registering named types for reuse."""
+    if isinstance(schema, str):
+        if schema in named:
+            return named[schema]
+        return schema  # primitive
+    if isinstance(schema, list):
+        return [_parse_schema(s, named) for s in schema]
+    typ = schema["type"]
+    if typ in ("record", "error"):
+        named[schema["name"]] = schema
+        for f in schema["fields"]:
+            f["type"] = _parse_schema(f["type"], named)
+        return schema
+    if typ in ("enum", "fixed"):
+        named[schema["name"]] = schema
+        return schema
+    if typ == "array":
+        schema["items"] = _parse_schema(schema["items"], named)
+        return schema
+    if typ == "map":
+        schema["values"] = _parse_schema(schema["values"], named)
+        return schema
+    return _parse_schema(typ, named) if isinstance(typ, (dict, list)) \
+        else schema
+
+
+def _decode(r: _Reader, schema: Any) -> Any:
+    if isinstance(schema, list):  # union
+        return _decode(r, schema[r.read_long()])
+    if isinstance(schema, dict):
+        typ = schema["type"]
+        if typ in ("record", "error"):
+            return {f["name"]: _decode(r, f["type"])
+                    for f in schema["fields"]}
+        if typ == "array":
+            out = []
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    break
+                if n < 0:
+                    r.read_long()  # byte size of block, unused
+                    n = -n
+                for _ in range(n):
+                    out.append(_decode(r, schema["items"]))
+            return out
+        if typ == "map":
+            out = {}
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    break
+                if n < 0:
+                    r.read_long()
+                    n = -n
+                for _ in range(n):
+                    k = r.read_bytes().decode("utf-8")
+                    out[k] = _decode(r, schema["values"])
+            return out
+        if typ == "fixed":
+            return r.read(schema["size"])
+        if typ == "enum":
+            return schema["symbols"][r.read_long()]
+        typ_name = typ  # {"type": "string", ...} wrapper
+    else:
+        typ_name = schema
+    if typ_name == "null":
+        return None
+    if typ_name == "boolean":
+        return r.read(1) == b"\x01"
+    if typ_name in ("int", "long"):
+        return r.read_long()
+    if typ_name == "float":
+        return struct.unpack("<f", r.read(4))[0]
+    if typ_name == "double":
+        return struct.unpack("<d", r.read(8))[0]
+    if typ_name == "bytes":
+        return r.read_bytes()
+    if typ_name == "string":
+        return r.read_bytes().decode("utf-8")
+    raise ValueError(f"unsupported avro type: {typ_name!r}")
+
+
+def read_ocf(path: str) -> tuple[dict, list]:
+    """Read an Avro OCF file → (file-metadata dict, list of records).
+
+    The ``avro.schema`` metadata entry is returned parsed under key
+    ``"schema"``; other metadata values stay raw bytes.
+    """
+    with open(path, "rb") as fh:
+        data = fh.read()
+    r = _Reader(data)
+    if r.read(4) != MAGIC:
+        raise ValueError(f"{path}: not an Avro object container file")
+    meta_schema = {"type": "map", "values": "bytes"}
+    meta = _decode(r, meta_schema)
+    sync = r.read(16)
+    schema = _parse_schema(json.loads(meta["avro.schema"]), {})
+    codec = meta.get("avro.codec", b"null").decode()
+    records = []
+    while r.pos < len(data):
+        count = r.read_long()
+        size = r.read_long()
+        block = r.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec: {codec}")
+        br = _Reader(block)
+        for _ in range(count):
+            records.append(_decode(br, schema))
+        if r.read(16) != sync:
+            raise ValueError(f"{path}: sync marker mismatch")
+    out_meta = {k: v for k, v in meta.items()}
+    out_meta["schema"] = schema
+    return out_meta, records
+
+
+# ---------------------------------------------------------------- encode
+
+class _Writer:
+    def __init__(self):
+        self.out = io.BytesIO()
+
+    def write(self, b: bytes):
+        self.out.write(b)
+
+    def write_long(self, n: int):
+        n = (n << 1) ^ (n >> 63)  # zigzag (arbitrary-precision-safe)
+        if n < 0:
+            n &= (1 << 64) - 1
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                self.out.write(bytes((b | 0x80,)))
+            else:
+                self.out.write(bytes((b,)))
+                break
+
+    def write_bytes(self, b: bytes):
+        self.write_long(len(b))
+        self.out.write(b)
+
+
+def _union_branch(schema: list, value: Any) -> int:
+    """Pick the union branch for a value (None→null, else first match)."""
+    def name(s):
+        if isinstance(s, dict):
+            return s["type"]
+        return s
+    for i, s in enumerate(schema):
+        n = name(s)
+        if value is None and n == "null":
+            return i
+        if value is not None and n != "null":
+            if isinstance(value, bool) and n == "boolean":
+                return i
+            if isinstance(value, int) and not isinstance(value, bool) \
+                    and n in ("int", "long"):
+                return i
+            if isinstance(value, float) and n in ("float", "double"):
+                return i
+            if isinstance(value, str) and n in ("string", "enum"):
+                return i
+            if isinstance(value, bytes) and n in ("bytes", "fixed"):
+                return i
+            if isinstance(value, dict) and n in ("record", "map", "error"):
+                return i
+            if isinstance(value, list) and n == "array":
+                return i
+    raise ValueError(f"no union branch in {schema!r} for {value!r}")
+
+
+def _encode(w: _Writer, schema: Any, value: Any):
+    if isinstance(schema, list):
+        i = _union_branch(schema, value)
+        w.write_long(i)
+        return _encode(w, schema[i], value)
+    if isinstance(schema, dict):
+        typ = schema["type"]
+        if typ in ("record", "error"):
+            for f in schema["fields"]:
+                if f["name"] not in value and "default" in f:
+                    _encode(w, f["type"], f["default"])
+                else:
+                    _encode(w, f["type"], value[f["name"]])
+            return
+        if typ == "array":
+            if value:
+                w.write_long(len(value))
+                for item in value:
+                    _encode(w, schema["items"], item)
+            w.write_long(0)
+            return
+        if typ == "map":
+            if value:
+                w.write_long(len(value))
+                for k, v in value.items():
+                    w.write_bytes(k.encode("utf-8"))
+                    _encode(w, schema["values"], v)
+            w.write_long(0)
+            return
+        if typ == "fixed":
+            if len(value) != schema["size"]:
+                raise ValueError("fixed size mismatch")
+            w.write(value)
+            return
+        if typ == "enum":
+            w.write_long(schema["symbols"].index(value))
+            return
+        typ_name = typ
+    else:
+        typ_name = schema
+    if typ_name == "null":
+        return
+    if typ_name == "boolean":
+        w.write(b"\x01" if value else b"\x00")
+    elif typ_name in ("int", "long"):
+        w.write_long(value)
+    elif typ_name == "float":
+        w.write(struct.pack("<f", value))
+    elif typ_name == "double":
+        w.write(struct.pack("<d", value))
+    elif typ_name == "bytes":
+        w.write_bytes(value)
+    elif typ_name == "string":
+        w.write_bytes(value.encode("utf-8"))
+    else:
+        raise ValueError(f"unsupported avro type: {typ_name!r}")
+
+
+def write_ocf(path: str, schema: dict, records: Iterable[dict],
+              codec: str = "deflate",
+              extra_meta: dict[str, bytes] | None = None) -> None:
+    """Write records as a single-block Avro OCF file."""
+    schema_parsed = _parse_schema(json.loads(json.dumps(schema)), {})
+    body = _Writer()
+    n = 0
+    for rec in records:
+        _encode(body, schema_parsed, rec)
+        n += 1
+    block = body.out.getvalue()
+    if codec == "deflate":
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        block = comp.compress(block) + comp.flush()
+    elif codec != "null":
+        raise ValueError(f"unsupported avro codec: {codec}")
+
+    head = _Writer()
+    head.write(MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode("utf-8"),
+            "avro.codec": codec.encode("utf-8")}
+    meta.update(extra_meta or {})
+    head.write_long(len(meta))
+    for k, v in meta.items():
+        head.write_bytes(k.encode("utf-8"))
+        head.write_bytes(v)
+    head.write_long(0)
+    head.write(SYNC)
+    head.write_long(n)
+    head.write_long(len(block))
+    head.write(block)
+    head.write(SYNC)
+    with open(path, "wb") as fh:
+        fh.write(head.out.getvalue())

@@ -53,16 +53,25 @@ def iceberg_runtime_available(spark: SparkSession) -> bool:
         return False
 
 
+def _is_iceberg_path(path: str) -> bool:
+    import os
+    return os.path.isdir(os.path.join(path, "metadata"))
+
+
 def read_table(spark: SparkSession, table: Optional[str] = None,
                path: Optional[str] = None,
                snapshot_id: Optional[int] = None) -> DataFrame:
     """Resolve the repo table: catalog table when named (Iceberg in
-    production; any ``spark.read.table``-resolvable name works),
-    parquet directory fallback otherwise.
+    production; any ``spark.read.table``-resolvable name works), else
+    a filesystem path — an Iceberg table location (detected by its
+    ``metadata/`` directory) goes through the pure-Python metadata
+    layer (`iceberg_meta`, snapshot pinning + manifest pruning), a
+    plain parquet directory through ``spark.read.parquet``.
 
-    ``snapshot_id`` pins an Iceberg time-travel read; it requires a
-    catalog table — a parquet directory has no snapshot lineage, so
-    passing both is a loud error rather than a silently ignored option.
+    ``snapshot_id`` pins an Iceberg time-travel read; it needs
+    snapshot lineage (catalog table or Iceberg path) — on a bare
+    parquet directory it is a loud error rather than a silently
+    ignored option.
     """
     if table:
         reader = spark.read
@@ -70,9 +79,13 @@ def read_table(spark: SparkSession, table: Optional[str] = None,
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.table(table)
     if path:
+        if _is_iceberg_path(path):
+            from .iceberg_meta import read_iceberg
+            return read_iceberg(spark, path, snapshot_id=snapshot_id)
         if snapshot_id is not None:
             raise ValueError(
-                "snapshot_id requires a catalog table; a parquet "
-                "directory has no snapshot lineage")
+                "snapshot_id requires a catalog table or an Iceberg "
+                "table path; a parquet directory has no snapshot "
+                "lineage")
         return spark.read.parquet(path)
     raise ValueError("read_table needs a table name or a parquet path")
