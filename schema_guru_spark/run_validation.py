@@ -38,6 +38,12 @@ def main(argv=None) -> dict:
                          "(requires --table); a resumed job MUST reuse "
                          "the original run's snapshot or the checkpoint "
                          "manifest describes a different row set")
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated lang allow-list. On an Iceberg "
+                         "--input path partitioned by lang this prunes "
+                         "data files in the METADATA layer (no file "
+                         "opened, no listing); everywhere else it is a "
+                         "plain filter Catalyst pushes into the scan")
     ap.add_argument("--synthesize", type=int, default=0,
                     help="generate N synthetic files instead of --input")
     ap.add_argument("--checkpoint", default=None)
@@ -84,10 +90,16 @@ def main(argv=None) -> dict:
                 .repartition(128) \
                 .write.mode("overwrite").parquet(synth_dir)
         df = spark.read.parquet(synth_dir)
+        if args.langs:
+            from pyspark.sql import functions as _F
+            df = df.where(_F.col("lang").isin(args.langs.split(",")))
     elif args.table or args.input:
         from schema_guru_spark.sources.catalog import read_table
         df = read_table(spark, table=args.table, path=args.input,
-                        snapshot_id=args.snapshot_id)
+                        snapshot_id=args.snapshot_id,
+                        partition_filter=(
+                            {"lang": args.langs.split(",")}
+                            if args.langs else None))
     else:
         ap.error("need --input, --table or --synthesize")
 

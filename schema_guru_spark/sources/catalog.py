@@ -60,7 +60,8 @@ def _is_iceberg_path(path: str) -> bool:
 
 def read_table(spark: SparkSession, table: Optional[str] = None,
                path: Optional[str] = None,
-               snapshot_id: Optional[int] = None) -> DataFrame:
+               snapshot_id: Optional[int] = None,
+               partition_filter: Optional[dict] = None) -> DataFrame:
     """Resolve the repo table: catalog table when named (Iceberg in
     production; any ``spark.read.table``-resolvable name works), else
     a filesystem path — an Iceberg table location (detected by its
@@ -72,20 +73,41 @@ def read_table(spark: SparkSession, table: Optional[str] = None,
     snapshot lineage (catalog table or Iceberg path) — on a bare
     parquet directory it is a loud error rather than a silently
     ignored option.
+
+    ``partition_filter`` ({col: value-or-list}) has ONE semantics on
+    every route — rows where col is in the allowed set — but three
+    physical strategies: Iceberg-path reads prune data files in the
+    metadata layer before any file is opened (the residual row filter
+    is still applied, since a manifest's spec may not identity-
+    partition that column), while catalog tables and parquet
+    directories get a plain ``isin`` predicate for Catalyst to push
+    into the scan (on a real Iceberg catalog the runtime turns that
+    predicate into the same manifest pruning).
     """
+    from pyspark.sql import functions as F
+
+    def _residual(df: DataFrame) -> DataFrame:
+        for col, want in (partition_filter or {}).items():
+            allowed = list(want) if isinstance(want, (list, tuple,
+                                                      set)) else [want]
+            df = df.where(F.col(col).isin(allowed))
+        return df
+
     if table:
         reader = spark.read
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
-        return reader.table(table)
+        return _residual(reader.table(table))
     if path:
         if _is_iceberg_path(path):
             from .iceberg_meta import read_iceberg
-            return read_iceberg(spark, path, snapshot_id=snapshot_id)
+            return _residual(read_iceberg(
+                spark, path, snapshot_id=snapshot_id,
+                partition_filter=partition_filter))
         if snapshot_id is not None:
             raise ValueError(
                 "snapshot_id requires a catalog table or an Iceberg "
                 "table path; a parquet directory has no snapshot "
                 "lineage")
-        return spark.read.parquet(path)
+        return _residual(spark.read.parquet(path))
     raise ValueError("read_table needs a table name or a parquet path")

@@ -226,6 +226,36 @@ def test_delete_files_fail_loudly(table, tmp_path):
         data_files(tp)
 
 
+def test_read_table_partition_filter_same_semantics(table, spark,
+                                                    tmp_path):
+    """partition_filter means the same rows on every route; on the
+    Iceberg route it additionally prunes files in metadata."""
+    tp, _, _ = table
+    ice = read_table(spark, path=tp, partition_filter={"lang": "py"})
+    assert ice.count() == 20
+    # plain parquet route: same rows via a pushed predicate
+    pq_dir = str(tmp_path / "pq")
+    read_table(spark, path=tp).write.parquet(pq_dir)
+    flat = read_table(spark, path=pq_dir,
+                      partition_filter={"lang": "py"})
+    assert flat.count() == 20
+    assert sorted(r["path"] for r in ice.collect()) == \
+        sorted(r["path"] for r in flat.collect())
+    # and the predicate reaches the parquet scan (Catalyst pushdown)
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan
+
+
+def test_run_validation_langs_prunes_iceberg_metadata(table, spark,
+                                                      capsys):
+    tp, _, _ = table
+    from schema_guru_spark.run_validation import main
+    main(["--input", tp, "--langs", "py,go", "--buckets", "4",
+          "--cpus", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 30  # 20 py + 10 go of 40
+
+
 def test_run_validation_over_iceberg_path(table, spark, capsys):
     """The job entry point consumes an Iceberg table location like any
     other --input: resolution goes through read_table -> iceberg_meta."""
