@@ -1,0 +1,84 @@
+"""Property-based roundtrip for the pure-Python Avro OCF codec.
+
+hypothesis drives arbitrary records through write_ocf -> read_ocf for
+a schema that exercises every supported shape (primitives, optional
+union, nested record, array, map, fixed, enum) and both codecs. The
+JVM-Avro interop tests in test_iceberg_meta.py anchor the format to
+the reference implementation; this suite hunts value-space edges
+(zigzag boundaries, empty/huge strings, NaN-free doubles, unicode
+keys) the example-based tests don't reach.
+"""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from schema_guru_spark.sources.avro_ocf import read_ocf, write_ocf
+
+SCHEMA = {
+    "type": "record", "name": "t", "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "i", "type": "int"},
+        {"name": "o", "type": ["null", "long"], "default": None},
+        {"name": "d", "type": "double"},
+        {"name": "bl", "type": "boolean"},
+        {"name": "by", "type": "bytes"},
+        {"name": "fx", "type": {"type": "fixed", "name": "f4",
+                                "size": 4}},
+        {"name": "e", "type": {"type": "enum", "name": "c",
+                               "symbols": ["A", "B", "C"]}},
+        {"name": "arr", "type": {"type": "array", "items": {
+            "type": "record", "name": "sub", "fields": [
+                {"name": "x", "type": "long"}]}}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ]}
+
+# doubles: exclude NaN only (NaN != NaN breaks equality, and Avro
+# roundtrips it bit-exactly anyway); +/-inf and -0.0 stay in
+_doubles = st.floats(allow_nan=False, width=64)
+_longs = st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1)
+
+_records = st.fixed_dictionaries({
+    "s": st.text(max_size=64),
+    "n": _longs,
+    "i": st.integers(min_value=-(2 ** 31), max_value=2 ** 31 - 1),
+    "o": st.none() | _longs,
+    "d": _doubles,
+    "bl": st.booleans(),
+    "by": st.binary(max_size=64),
+    "fx": st.binary(min_size=4, max_size=4),
+    "e": st.sampled_from(["A", "B", "C"]),
+    "arr": st.lists(st.fixed_dictionaries({"x": _longs}), max_size=8),
+    "m": st.dictionaries(st.text(max_size=16), st.text(max_size=16),
+                         max_size=8),
+})
+
+
+@settings(max_examples=150, deadline=None)
+@given(recs=st.lists(_records, max_size=10),
+       codec=st.sampled_from(["deflate", "null"]))
+def test_ocf_roundtrip_property(tmp_path_factory, recs, codec):
+    p = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    write_ocf(p, SCHEMA, recs, codec=codec)
+    _, back = read_ocf(p)
+    assert len(back) == len(recs)
+    for got, want in zip(back, recs):
+        for k, v in want.items():
+            g = got[k]
+            if isinstance(v, float):
+                assert (g == v) or (math.isinf(v) and g == v) or \
+                    (v == 0.0 and g == 0.0)
+            else:
+                assert g == v, (k, g, v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(n=_longs)
+def test_zigzag_long_extremes(tmp_path_factory, n):
+    sch = {"type": "record", "name": "z",
+           "fields": [{"name": "n", "type": "long"}]}
+    p = str(tmp_path_factory.mktemp("avro") / "z.avro")
+    write_ocf(p, sch, [{"n": n}], codec="null")
+    _, back = read_ocf(p)
+    assert back[0]["n"] == n

@@ -264,3 +264,40 @@ def test_run_validation_over_iceberg_path(table, spark, capsys):
     main(["--input", tp, "--buckets", "4", "--cpus", "4"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == 40
+
+
+def test_resume_with_pinned_snapshot_sees_original_rows(
+        tmp_path, spark):
+    """North rule: a resumed run must validate EXACTLY the row set the
+    original run checkpointed against. Snapshot pinning is what makes
+    that true over a live table — an append lands between the partial
+    run and the resume, and the pinned resume must not see it."""
+    from schema_guru_spark.pipeline import validate_repo_table
+    from schema_guru_spark.plans.checkpoint import CheckpointManager
+
+    tp = str(tmp_path / "live")
+    s1 = append_snapshot(tp, _rows(40, "c1"), SCHEMA,
+                         partition_by="lang")
+    ck = str(tmp_path / "ckpt")
+
+    # partial run against snapshot s1 (emulate a kill after 3 buckets)
+    df1 = read_table(spark, path=tp, snapshot_id=s1)
+    CheckpointManager(spark, ck).record_done(
+        [{"bucket": b, "n_rows": 0, "n_ok": 0, "n_err": 0}
+         for b in range(3)])
+
+    # a writer appends while the job is down
+    append_snapshot(tp, _rows(25, "c2"), SCHEMA, partition_by="lang")
+
+    # resume PINNED to s1: remaining buckets only, original row set
+    df_resume = read_table(spark, path=tp, snapshot_id=s1)
+    res = validate_repo_table(spark, df_resume, checkpoint_dir=ck,
+                              n_buckets=8)
+    assert res.resumed_buckets == [0, 1, 2]
+    assert res.processed_buckets == [3, 4, 5, 6, 7]
+    # every validated row is from c1 — the append is invisible
+    assert df_resume.where("commit <> 'c1'").count() == 0
+    assert df_resume.count() == 40
+    # an UNPINNED read at resume time would have seen a different
+    # table than the checkpoint manifest describes — the hazard
+    assert read_table(spark, path=tp).count() == 65
