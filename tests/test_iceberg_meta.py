@@ -131,6 +131,29 @@ def test_avro_java_write_python_read(tmp_path, spark):
     assert back == AVRO_RECS
 
 
+def test_avro_java_multiblock_python_read(tmp_path, spark):
+    """Real manifest writers emit MANY sync-delimited blocks; force the
+    JVM writer to flush tiny blocks and verify our block loop."""
+    p = str(tmp_path / "multi.avro")
+    jvm = spark._jvm  # noqa: SLF001
+    sch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(
+        {"type": "record", "name": "r", "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": "string"}]}))
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch))
+    w.setSyncInterval(64)  # minimum allowed: block every few records
+    w.create(sch, jvm.java.io.File(p))
+    for i in range(500):
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(
+            sch, json.dumps({"i": i, "s": f"row-{i}"}))
+        w.append(jvm.org.apache.avro.generic.GenericDatumReader(sch)
+                 .read(None, dec))
+    w.close()
+    _, back = read_ocf(p)
+    assert back == [{"i": i, "s": f"row-{i}"} for i in range(500)]
+
+
 # --------------------------------------------------- metadata semantics
 
 def test_snapshot_lineage_and_versions(table):
