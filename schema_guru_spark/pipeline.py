@@ -390,11 +390,19 @@ def validate_repo_table(
         bucketed = df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
     prepared = (
         bucketed
+        # both flags are COALESCED to false: sha2(NULL)==x and
+        # NULL.isin(...) are three-valued NULL, which would cross Arrow
+        # as a pandas object column and crash the scan pass's bitwise
+        # ops — and semantically an unverifiable invariant IS a
+        # violation (null content/sha/lang on a real corpus)
         .withColumn(
             "sha_ok",
-            (F.sha2("content", 256) == F.col("content_sha"))
+            F.coalesce(F.sha2("content", 256) == F.col("content_sha"),
+                       F.lit(False))
             if has_sha else F.lit(True))
-        .withColumn("lang_ok", F.col("lang").isin(list(allowed_langs)))
+        .withColumn("lang_ok",
+                    F.coalesce(F.col("lang").isin(list(allowed_langs)),
+                               F.lit(False)))
         # only JSON-bearing rows' content crosses the Arrow boundary —
         # sha/lang checks already happened JVM-side, so non-JSON content
         # (here ~60% of bytes) is nulled before serialization to Python

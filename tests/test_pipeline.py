@@ -505,3 +505,32 @@ def test_scan_pass_vectorized_equals_naive_reference():
     assert by_payload[
         "invalid JSON: Expecting property name enclosed in double quotes: "
         "line 1 column 2 (char 1)"] == "r4"
+
+
+def test_null_fields_are_violations_not_crashes(spark):
+    """Real corpora have NULLs. A NULL content/content_sha/lang makes
+    the JVM-side sha/lang flags three-valued; before the coalesce fix
+    the NULL crossed Arrow as a pandas object column and the scan
+    pass's ``~sha_ok`` crashed with TypeError. NULL-flag rows must be
+    counted as violations instead."""
+    base = synthesize_repo_table(spark, 200, n_repos=5)
+    dirty = base.unionByName(spark.createDataFrame(
+        [("rX", "p1", "c1", None, '{"k": 1}',               # null lang
+          "4514a0c66d60ecfeb7170caceddfb3d012a7ede1afea4863ba8bcc490"
+          "ccf63b8"),  # correct sha: isolate the lang violation
+         ("rX", "p2", "c1", "json", None, "0" * 64),         # null content
+         ("rX", "p3", "c1", "json", '{"k": 2}', None)],      # null sha
+        "repo string, path string, commit string, lang string, "
+        "content string, content_sha string"))
+    res = validate_repo_table(spark, dirty, n_buckets=N_BUCKETS)
+    agg = res.verdicts.agg(
+        F.sum("n_rows").alias("rows"), F.sum("n_sha_bad").alias("sha"),
+        F.sum("n_lang_bad").alias("lang")).collect()[0]
+    assert agg["rows"] == 203
+    # null lang -> lang violation; null content / null sha -> sha
+    # violations (the invariant cannot be verified, so it fails)
+    assert agg["lang"] == 1
+    assert agg["sha"] == 2
+    details = [r["detail"] for r in res.violations.collect()]
+    assert details.count("lang not allowed") == 1
+    assert details.count("sha256 mismatch") >= 2
