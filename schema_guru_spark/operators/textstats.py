@@ -24,7 +24,11 @@ BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def _words(col: Column) -> Column:
-    return F.split(F.lower(F.trim(col)), r"\s+")
+    # split("", "\s+") is [""] — one phantom token for every
+    # empty/whitespace-only doc; array_remove drops it (after trim,
+    # interior splits can never produce empty strings, so this touches
+    # ONLY the degenerate case). Still pure codegen.
+    return F.array_remove(F.split(F.lower(F.trim(col)), r"\s+"), "")
 
 
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
