@@ -15,15 +15,27 @@ runtime:
     eliminates data files from the manifest metadata alone — zero
     object-store listing, zero footer reads for pruned files.
 
-Scope (documented, loud on violation): format-version 2, data files
-only (a delete manifest or delete data-file raises
-``NotImplementedError`` — merge-on-read compaction belongs to the real
-runtime), identity partition transforms prune (non-identity transforms
-are kept un-pruned, which is correct, just less selective), single
-current schema. On a production cluster, ``catalog.read_table`` with
-the iceberg-spark runtime replaces this module entirely (same call
-sites); this module is the sandbox-complete fallback and is also
-genuinely useful for metadata inspection without a JVM.
+  * **merge-on-read deletes**: v2 position-delete and equality-delete
+    files are planned from the delete manifests and applied Spark-side
+    — position deletes via an anti-join on
+    ``(_metadata.file_path, _metadata.row_index)`` (Spark's parquet
+    row-index IS Iceberg's ``pos`` ordinal), equality deletes via a
+    null-safe anti-join on the ``equality_ids`` columns — with the
+    spec's sequence-number applicability rules (position: delete.seq
+    >= data.seq; equality: delete.seq > data.seq, so re-inserted rows
+    survive earlier deletes).
+
+Scope (documented, loud on violation): format-version 2, identity
+partition transforms prune (non-identity transforms are kept
+un-pruned, which is correct, just less selective), single current
+schema. ``data_files`` (the metadata-inspection API) still raises
+``NotImplementedError`` when the snapshot carries deletes, because a
+caller consuming the data-file list alone would silently over-count;
+``plan_scan``/``read_iceberg`` are the delete-aware surface. On a
+production cluster, ``catalog.read_table`` with the iceberg-spark
+runtime replaces this module entirely (same call sites); this module
+is the sandbox-complete fallback and is also genuinely useful for
+metadata inspection without a JVM.
 
 Avro manifests are decoded by ``avro_ocf`` (pure Python), which is
 interop-tested against the JVM Avro 1.12 implementation bundled with
@@ -66,6 +78,23 @@ class DataFile:
     record_count: int
     file_size_in_bytes: int
     partition: dict[str, Any]  # identity-transform fields only
+    sequence_number: int = 0   # data sequence number (delete scoping)
+
+
+@dataclass
+class DeleteFile:
+    path: str
+    content: int               # 1 = position deletes, 2 = equality
+    record_count: int
+    sequence_number: int
+    equality_ids: list[int]    # schema field ids (content == 2 only)
+    partition: dict[str, Any]
+
+
+@dataclass
+class ScanPlan:
+    data: list[DataFile]
+    deletes: list[DeleteFile]
 
 
 def load_table_metadata(table_path: str,
@@ -124,58 +153,106 @@ def _identity_fields(meta: dict, spec_id: int) -> dict[str, str]:
     raise LookupError(f"partition spec {spec_id} not in metadata")
 
 
-def data_files(table_path: str, snapshot_id: Optional[int] = None,
-               partition_filter: Optional[dict[str, Any]] = None,
-               ) -> list[DataFile]:
-    """Resolve a snapshot to its live data files, pruning by identity
-    partition values before any data file is touched.
+def _partition_keeps(part: dict[str, Any],
+                     partition_filter: Optional[dict[str, Any]]) -> bool:
+    for col, want in (partition_filter or {}).items():
+        if col not in part:
+            continue  # not prunable via this spec
+        allowed = want if isinstance(want, (list, tuple, set)) else [want]
+        if part[col] not in allowed:
+            return False
+    return True
+
+
+def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
+              partition_filter: Optional[dict[str, Any]] = None,
+              ) -> ScanPlan:
+    """Resolve a snapshot to its live data files AND the delete files
+    that apply to them, pruning by identity partition values before any
+    file is touched.
 
     ``partition_filter`` maps source column name -> value or list of
     values. Columns that are not identity partition fields of a
     manifest's spec simply don't prune that manifest's files (correct,
     only less selective — Spark's scan still applies the predicate).
+    Delete files are pruned by the same partition predicate: a delete
+    file can only reference rows of its own partition (position deletes
+    name data files explicitly; equality deletes in a partitioned spec
+    apply within their partition per the spec).
     """
     meta = load_table_metadata(table_path)
     snap = _select_snapshot(meta, snapshot_id)
     if not snap:
-        return []
+        return ScanPlan([], [])
     _, manifests = read_ocf(_strip_file_uri(snap["manifest-list"]))
-    out: list[DataFile] = []
+    data: list[DataFile] = []
+    deletes: list[DeleteFile] = []
     for mf in manifests:
-        if mf.get("content", 0) != 0:
-            raise NotImplementedError(
-                "delete manifests (merge-on-read) need the iceberg "
-                "runtime; this table has one")
         ident = _identity_fields(meta, mf["partition_spec_id"])
         _, entries = read_ocf(_strip_file_uri(mf["manifest_path"]))
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
             df = e["data_file"]
-            if df.get("content", 0) != 0:
-                raise NotImplementedError(
-                    "equality/position delete files need the iceberg "
-                    "runtime; this table has one")
+            # sequence-number inheritance (spec): an ADDED entry with a
+            # null sequence number inherits the manifest's
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number", 0)
             part = {ident[k]: v for k, v in df["partition"].items()
                     if k in ident}
-            if partition_filter:
-                keep = True
-                for col, want in partition_filter.items():
-                    if col not in part:
-                        continue  # not prunable via this spec
-                    allowed = want if isinstance(want, (list, tuple,
-                                                        set)) else [want]
-                    if part[col] not in allowed:
-                        keep = False
-                        break
-                if not keep:
-                    continue
-            out.append(DataFile(
-                path=_strip_file_uri(df["file_path"]),
-                record_count=df["record_count"],
-                file_size_in_bytes=df["file_size_in_bytes"],
-                partition=part))
-    return out
+            if not _partition_keeps(part, partition_filter):
+                continue
+            content = df.get("content", 0)
+            if mf.get("content", 0) == 0:
+                if content != 0:
+                    raise ValueError(
+                        f"{mf['manifest_path']}: delete file in a DATA "
+                        "manifest — corrupt metadata")
+                data.append(DataFile(
+                    path=_strip_file_uri(df["file_path"]),
+                    record_count=df["record_count"],
+                    file_size_in_bytes=df["file_size_in_bytes"],
+                    partition=part, sequence_number=seq))
+            else:
+                if content not in (1, 2):
+                    raise ValueError(
+                        f"{mf['manifest_path']}: data file in a DELETE "
+                        "manifest — corrupt metadata")
+                deletes.append(DeleteFile(
+                    path=_strip_file_uri(df["file_path"]),
+                    content=content,
+                    record_count=df["record_count"],
+                    sequence_number=seq,
+                    equality_ids=list(df.get("equality_ids") or []),
+                    partition=part))
+    if deletes:
+        # keep only deletes that can affect a surviving data file
+        min_data_seq = min((d.sequence_number for d in data), default=0)
+        deletes = [d for d in deletes
+                   if (d.sequence_number >= min_data_seq
+                       if d.content == 1
+                       else d.sequence_number > min_data_seq)]
+    return ScanPlan(data, deletes)
+
+
+def data_files(table_path: str, snapshot_id: Optional[int] = None,
+               partition_filter: Optional[dict[str, Any]] = None,
+               ) -> list[DataFile]:
+    """Metadata-inspection API: live data files of a snapshot.
+
+    Raises ``NotImplementedError`` when the snapshot carries delete
+    files — a caller consuming this list alone would silently
+    over-count rows. Use ``plan_scan`` (metadata) or ``read_iceberg``
+    (DataFrame with deletes applied) for merge-on-read tables.
+    """
+    plan = plan_scan(table_path, snapshot_id, partition_filter)
+    if plan.deletes:
+        raise NotImplementedError(
+            "delete manifests (merge-on-read): data_files() would "
+            "over-count — use plan_scan()/read_iceberg(), which apply "
+            "position/equality deletes")
+    return plan.data
 
 
 _ICE_TO_SPARK = {"string": "string", "long": "bigint", "int": "int",
@@ -183,14 +260,48 @@ _ICE_TO_SPARK = {"string": "string", "long": "bigint", "int": "int",
                  "boolean": "boolean", "binary": "binary"}
 
 
+# broadcast delete sets below this many rows (manifest record counts,
+# known before any file is opened); above it, leave the join strategy
+# to AQE — a 100 TB table's delete files can be shuffle-join material
+_BROADCAST_DELETE_ROWS = 4_000_000
+
+
+def _norm_path(col):
+    """Normalize file URIs so manifest paths and Spark's
+    ``_metadata.file_path`` compare equal (file:///x vs file:/x vs /x).
+    """
+    from pyspark.sql import functions as F
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
 def read_iceberg(spark, table_path: str,
                  snapshot_id: Optional[int] = None,
                  partition_filter: Optional[dict[str, Any]] = None):
     """Read an Iceberg table path into a DataFrame via the metadata
     layer: snapshot selection + manifest partition pruning, then a
-    plain Spark parquet scan over only the surviving files."""
-    files = data_files(table_path, snapshot_id, partition_filter)
-    if not files:
+    plain Spark parquet scan over only the surviving files, then
+    merge-on-read delete application.
+
+    Deletes are applied with anti-joins, all JVM-side:
+
+      * position deletes — join key ``(file, pos)`` where the data
+        side's key is ``(_metadata.file_path, _metadata.row_index)``:
+        Spark's parquet row index is exactly Iceberg's ``pos`` (the
+        ordinal of the row in its data file), so no Python touches a
+        row. Applicable when delete.seq >= data-file.seq.
+      * equality deletes — null-safe anti-join on the delete file's
+        ``equality_ids`` columns; applicable when delete.seq >
+        data-file.seq (strict, so a row re-inserted after the delete
+        survives it). Files with the same column set are unioned into
+        ONE anti-join, each row carrying its own sequence number.
+
+    Small delete sets (known from manifest record counts) are
+    broadcast; large ones are left to AQE.
+    """
+    from pyspark.sql import functions as F
+
+    plan = plan_scan(table_path, snapshot_id, partition_filter)
+    if not plan.data:
         meta = load_table_metadata(table_path)
         sch = next(s for s in meta["schemas"]
                    if s["schema-id"] == meta["current-schema-id"])
@@ -198,7 +309,77 @@ def read_iceberg(spark, table_path: str,
             f"`{f['name']}` {_ICE_TO_SPARK[f['type']]}"
             for f in sch["fields"])
         return spark.createDataFrame([], ddl)
-    return spark.read.parquet(*[f.path for f in files])
+    df = spark.read.parquet(*[f.path for f in plan.data])
+    if not plan.deletes:
+        return df
+
+    def _maybe_broadcast(del_df, n_rows):
+        return F.broadcast(del_df) if n_rows <= _BROADCAST_DELETE_ROWS \
+            else del_df
+
+    cols = df.columns
+    # per-file data sequence numbers, joined in via a tiny broadcast
+    # map (one row per data FILE, not per data row)
+    seq_df = spark.createDataFrame(
+        [(f.path if f.path.startswith("/") else "/" + f.path,
+          f.sequence_number) for f in plan.data],
+        "__sg_path string, __sg_seq bigint")
+    df = (df
+          .withColumn("__sg_path",
+                      _norm_path(F.col("_metadata.file_path")))
+          .withColumn("__sg_pos", F.col("_metadata.row_index"))
+          .join(F.broadcast(seq_df), "__sg_path", "left"))
+
+    pos_dels = [d for d in plan.deletes if d.content == 1]
+    if pos_dels:
+        del_df = None
+        for d in pos_dels:
+            part = (spark.read.parquet(d.path)
+                    .select(_norm_path(F.col("file_path"))
+                            .alias("__del_path"),
+                            F.col("pos").cast("bigint")
+                            .alias("__del_pos"),
+                            F.lit(d.sequence_number).cast("bigint")
+                            .alias("__del_seq")))
+            del_df = part if del_df is None else del_df.unionAll(part)
+        n = sum(d.record_count for d in pos_dels)
+        cond = ((df["__sg_path"] == del_df["__del_path"])
+                & (df["__sg_pos"] == del_df["__del_pos"])
+                & (del_df["__del_seq"] >= df["__sg_seq"]))
+        df = df.join(_maybe_broadcast(del_df, n), cond, "left_anti")
+
+    eq_dels = [d for d in plan.deletes if d.content == 2]
+    if eq_dels:
+        meta = load_table_metadata(table_path)
+        sch = next(s for s in meta["schemas"]
+                   if s["schema-id"] == meta["current-schema-id"])
+        by_id = {f["id"]: f["name"] for f in sch["fields"]}
+        groups: dict[tuple, list[DeleteFile]] = {}
+        for d in eq_dels:
+            if not d.equality_ids:
+                raise ValueError(
+                    f"{d.path}: equality delete file without "
+                    "equality_ids — corrupt metadata")
+            groups.setdefault(
+                tuple(by_id[i] for i in d.equality_ids), []).append(d)
+        for names, dels in groups.items():
+            del_df = None
+            for d in dels:
+                part = (spark.read.parquet(d.path)
+                        .select(*[F.col(c).alias(f"__del_{c}")
+                                  for c in names])
+                        .withColumn("__del_seq",
+                                    F.lit(d.sequence_number)
+                                    .cast("bigint")))
+                del_df = part if del_df is None \
+                    else del_df.unionAll(part)
+            n = sum(d.record_count for d in dels)
+            cond = del_df["__del_seq"] > df["__sg_seq"]
+            for c in names:
+                cond = cond & df[c].eqNullSafe(del_df[f"__del_{c}"])
+            df = df.join(_maybe_broadcast(del_df, n), cond, "left_anti")
+
+    return df.select(*cols)
 
 
 # --------------------------------------------------------- fixture write
@@ -231,12 +412,29 @@ _ICE_TO_AVRO = {"string": "string", "long": "long", "int": "int",
                 "boolean": "boolean", "binary": "bytes"}
 
 
-def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+def _manifest_entry_schema(partition_fields: list[dict],
+                           with_equality_ids: bool = False) -> dict:
     part_fields = [
         {"name": f["name"],
          "type": ["null", _ICE_TO_AVRO[f["ice_type"]]],
          "default": None, "field-id": f["field-id"]}
         for f in partition_fields]
+    data_file_fields = [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "field-id": 102, "type": {
+            "type": "record", "name": "r102", "fields": part_fields}},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long",
+         "field-id": 104},
+    ]
+    if with_equality_ids:
+        data_file_fields.append(
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int",
+                               "element-id": 136}],
+             "default": None, "field-id": 135})
     return {
         "type": "record", "name": "manifest_entry", "fields": [
             {"name": "status", "type": "int", "field-id": 0},
@@ -246,21 +444,9 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
              "default": None, "field-id": 3},
             {"name": "file_sequence_number", "type": ["null", "long"],
              "default": None, "field-id": 4},
-            {"name": "data_file", "field-id": 2, "type": {
-                "type": "record", "name": "r2", "fields": [
-                    {"name": "content", "type": "int", "field-id": 134},
-                    {"name": "file_path", "type": "string",
-                     "field-id": 100},
-                    {"name": "file_format", "type": "string",
-                     "field-id": 101},
-                    {"name": "partition", "field-id": 102, "type": {
-                        "type": "record", "name": "r102",
-                        "fields": part_fields}},
-                    {"name": "record_count", "type": "long",
-                     "field-id": 103},
-                    {"name": "file_size_in_bytes", "type": "long",
-                     "field-id": 104},
-                ]}},
+            {"name": "data_file", "field-id": 2,
+             "type": {"type": "record", "name": "r2",
+                      "fields": data_file_fields}},
         ]}
 
 
@@ -297,6 +483,12 @@ def append_snapshot(table_path: str, rows: list[dict],
         if [ (f["name"], f["type"]) for f in prev["schemas"][0]["fields"]
              ] != list(schema):
             raise ValueError("append_snapshot does not evolve schemas")
+        spec0 = next(s for s in prev["partition-specs"]
+                     if s["spec-id"] == 0)
+        if [f["name"] for f in spec0["fields"]] != \
+                ([partition_by] if partition_by else []):
+            raise ValueError(
+                "append_snapshot does not evolve partition specs")
     else:
         prev, version, snap_id = None, 0, 1
     seq = snap_id
@@ -386,9 +578,13 @@ def append_snapshot(table_path: str, rows: list[dict],
             {"id": field_ids[n], "name": n, "required": False,
              "type": t} for n, t in schema]}],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0,
-                             "fields": part_fields_meta}],
-        "last-partition-id": 1000 if partition_by else 999,
+        # carry prior specs forward — delete snapshots may have added
+        # an unpartitioned spec that carried manifests still reference
+        "partition-specs": (prev["partition-specs"] if prev else
+                            [{"spec-id": 0,
+                              "fields": part_fields_meta}]),
+        "last-partition-id": (prev["last-partition-id"] if prev else
+                              (1000 if partition_by else 999)),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snap_id,
@@ -401,3 +597,162 @@ def append_snapshot(table_path: str, rows: list[dict],
     with open(hint, "w") as fh:
         fh.write(str(version + 1))
     return snap_id
+
+
+# ------------------------------------------------- delete-file writers
+
+# position-delete column field ids, reserved by the spec
+# (iceberg.apache.org/spec/#position-delete-files)
+_POS_DELETE_PATH_ID = 2147483546
+_POS_DELETE_POS_ID = 2147483545
+
+
+def _pa_field(name, pa_type, field_id):
+    import pyarrow as pa
+    return pa.field(name, pa_type,
+                    metadata={b"PARQUET:field_id":
+                              str(field_id).encode()})
+
+
+def _commit_delete_snapshot(table_path: str, del_file_rel: str,
+                            n_rows: int, content: int,
+                            equality_ids: Optional[list[int]]) -> int:
+    """Commit a snapshot whose only change is one delete file: a
+    delete manifest (content=1) under an UNPARTITIONED spec (so the
+    deletes apply table-wide and are never partition-pruned away),
+    prior manifests carried forward, new metadata json + hint."""
+    table_path = os.path.abspath(table_path)
+    mdir = os.path.join(table_path, "metadata")
+    prev = load_table_metadata(table_path)
+    version = max(int(m.group(1)) for f in os.listdir(mdir)
+                  if (m := re.match(r"v(\d+)\.metadata\.json$", f)))
+    snap_id = max(s["snapshot-id"] for s in prev["snapshots"]) + 1
+    seq = snap_id
+
+    specs = [dict(s) for s in prev["partition-specs"]]
+    unpart = next((s["spec-id"] for s in specs if not s["fields"]),
+                  None)
+    if unpart is None:
+        unpart = max(s["spec-id"] for s in specs) + 1
+        specs.append({"spec-id": unpart, "fields": []})
+
+    entry = {
+        "status": 1, "snapshot_id": snap_id,
+        "sequence_number": seq, "file_sequence_number": seq,
+        "data_file": {
+            "content": content,
+            "file_path": "file://" + os.path.join(table_path,
+                                                  del_file_rel),
+            "file_format": "PARQUET", "partition": {},
+            "record_count": n_rows,
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(table_path, del_file_rel)),
+            "equality_ids": equality_ids}}
+    man_path = os.path.join(mdir, f"manifest-del-{snap_id:05d}.avro")
+    write_ocf(man_path, _manifest_entry_schema([],
+                                               with_equality_ids=True),
+              [entry],
+              extra_meta={"format-version": b"2", "content": b"deletes",
+                          "partition-spec-id": str(unpart).encode()})
+
+    del_manifest = {
+        "manifest_path": "file://" + man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": unpart, "content": 1,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows, "existing_rows_count": 0,
+        "deleted_rows_count": 0}
+    cur = _select_snapshot(prev, None)
+    _, carried = read_ocf(_strip_file_uri(cur["manifest-list"]))
+    mlist_path = os.path.join(mdir, f"snap-{snap_id}-manifest-list.avro")
+    write_ocf(mlist_path, _MANIFEST_FILE_SCHEMA,
+              [del_manifest] + list(carried),
+              extra_meta={"format-version": b"2"})
+
+    meta = dict(prev)
+    meta["partition-specs"] = specs
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = _FIXED_TS_MS + snap_id
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"] = prev["snapshots"] + [{
+        "snapshot-id": snap_id, "sequence-number": seq,
+        "timestamp-ms": _FIXED_TS_MS + snap_id,
+        "manifest-list": "file://" + mlist_path,
+        "summary": {"operation": "delete"}, "schema-id": 0}]
+    with open(os.path.join(mdir, f"v{version + 1}.metadata.json"),
+              "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(version + 1))
+    return snap_id
+
+
+def delete_positions(table_path: str,
+                     deletes: list[tuple[str, int]]) -> int:
+    """Commit a position-delete snapshot: ``deletes`` is a list of
+    (data_file_path, row_ordinal) pairs. Returns the new snapshot id.
+
+    Writes one spec-conformant position-delete parquet file —
+    columns ``file_path`` (field id 2147483546) / ``pos`` (2147483545),
+    sorted by (file_path, pos) as the spec requires — plus a delete
+    manifest and a new metadata version.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table_path = os.path.abspath(table_path)
+    rows = sorted(
+        ("file://" + _strip_file_uri(p) if not p.startswith("file://")
+         else p, int(pos)) for p, pos in deletes)
+    sch = pa.schema([
+        _pa_field("file_path", pa.string(), _POS_DELETE_PATH_ID),
+        _pa_field("pos", pa.int64(), _POS_DELETE_POS_ID)])
+    snap_hint = max(s["snapshot-id"] for s in
+                    load_table_metadata(table_path)["snapshots"]) + 1
+    rel = os.path.join("data", f"{snap_hint:05d}-pos-deletes.parquet")
+    pq.write_table(pa.table({"file_path": [r[0] for r in rows],
+                             "pos": [r[1] for r in rows]}, schema=sch),
+                   os.path.join(table_path, rel))
+    return _commit_delete_snapshot(table_path, rel, len(rows),
+                                   content=1, equality_ids=None)
+
+
+def delete_where_equal(table_path: str, rows: list[dict]) -> int:
+    """Commit an equality-delete snapshot: each row in ``rows`` names
+    the values a live row must match (on exactly the keys present, the
+    same keys in every row) to be deleted. Applies only to data files
+    with a STRICTLY smaller sequence number, per the spec — rows
+    re-inserted later survive. Returns the new snapshot id.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not rows:
+        raise ValueError("delete_where_equal needs at least one row")
+    table_path = os.path.abspath(table_path)
+    meta = load_table_metadata(table_path)
+    sch_fields = next(s for s in meta["schemas"]
+                      if s["schema-id"] == meta["current-schema-id"]
+                      )["fields"]
+    by_name = {f["name"]: f for f in sch_fields}
+    names = list(rows[0].keys())
+    if any(list(r.keys()) != names for r in rows):
+        raise ValueError("every delete row must use the same key set")
+    unknown = [n for n in names if n not in by_name]
+    if unknown:
+        raise ValueError(f"unknown delete columns {unknown}")
+    _PA = {"string": pa.string(), "long": pa.int64(), "int": pa.int32(),
+           "double": pa.float64(), "float": pa.float32(),
+           "boolean": pa.bool_(), "binary": pa.binary()}
+    sch = pa.schema([_pa_field(n, _PA[by_name[n]["type"]],
+                               by_name[n]["id"]) for n in names])
+    snap_hint = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    rel = os.path.join("data", f"{snap_hint:05d}-eq-deletes.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=sch),
+                   os.path.join(table_path, rel))
+    return _commit_delete_snapshot(
+        table_path, rel, len(rows), content=2,
+        equality_ids=[by_name[n]["id"] for n in names])

@@ -23,7 +23,10 @@ from schema_guru_spark.sources.catalog import read_table
 from schema_guru_spark.sources.iceberg_meta import (
     append_snapshot,
     data_files,
+    delete_positions,
+    delete_where_equal,
     load_table_metadata,
+    plan_scan,
     read_iceberg,
 )
 
@@ -222,16 +225,16 @@ def test_empty_table_has_schema(tmp_path, spark):
     assert df.columns == [n for n, _ in SCHEMA]
 
 
-def test_delete_files_fail_loudly(table, tmp_path):
-    """Merge-on-read needs the real runtime: a delete manifest must
-    raise, never silently over-count."""
+def test_corrupt_manifest_content_flag_fails_loudly(table, tmp_path):
+    """A data-file entry inside a DELETE manifest (or vice versa) is
+    corrupt metadata and must raise, never silently mis-plan."""
     tp_src, _, _ = table
     tp = str(tmp_path / "del")
     shutil.copytree(tp_src, tp)
     meta = load_table_metadata(tp)
     mlist = meta["snapshots"][-1]["manifest-list"][len("file://"):]
     # rewrite the manifest list under the copied table, flipping one
-    # manifest to content=1 (deletes)
+    # manifest to content=1 (deletes) without touching its entries
     mlist = mlist.replace(tp_src, tp)
     hdr, manifests = read_ocf(mlist)
     manifests[0]["content"] = 1
@@ -245,8 +248,121 @@ def test_delete_files_fail_loudly(table, tmp_path):
                 txt = fh.read()
             with open(p, "w") as fh:
                 fh.write(txt.replace(tp_src, tp))
-    with pytest.raises(NotImplementedError, match="delete manifests"):
+    with pytest.raises(ValueError, match="DELETE manifest"):
+        plan_scan(tp)
+
+
+# --------------------------------------------- merge-on-read deletes
+
+@pytest.fixture()
+def mor_table(tmp_path):
+    """A fresh copy-free table for delete tests: 30 rows @ c1 then 10
+    py rows @ c2, partitioned by lang (same shape as ``table``)."""
+    tp = str(tmp_path / "mor")
+    s1 = append_snapshot(tp, _rows(30, "c1"), SCHEMA,
+                         partition_by="lang")
+    s2 = append_snapshot(tp, _rows(10, "c2", langs=("py",)), SCHEMA,
+                         partition_by="lang")
+    return tp, s1, s2
+
+
+def test_position_delete_merge_on_read(mor_table, spark):
+    import pyarrow.parquet as pq
+
+    tp, _, s2 = mor_table
+    # ground truth: pick one data file, read it row-by-row with
+    # pyarrow, delete ordinals 0 and 3
+    victim = sorted(plan_scan(tp).data, key=lambda f: f.path)[0]
+    tbl = pq.read_table(victim.path).to_pylist()
+    gone = {tbl[0]["path"], tbl[3]["path"]}
+    s3 = delete_positions(tp, [(victim.path, 0), (victim.path, 3)])
+
+    df = read_iceberg(spark, tp)
+    assert df.count() == 38
+    assert df.where(df["path"].isin(list(gone))).count() == 0
+    # untouched rows of the same file survive
+    assert df.where(df["path"] == tbl[1]["path"]).count() == 1
+    # time travel to before the delete still sees all 40
+    assert read_iceberg(spark, tp, snapshot_id=s2).count() == 40
+    # and the delete snapshot is now the current one
+    assert load_table_metadata(tp)["current-snapshot-id"] == s3
+    # the metadata-only API refuses rather than over-counting
+    with pytest.raises(NotImplementedError, match="over-count"):
         data_files(tp)
+
+
+def test_position_delete_survives_partition_pruning(mor_table, spark):
+    """Deletes ride an unpartitioned spec, so a partition_filter must
+    never prune them away: the deleted row stays deleted inside the
+    pruned read."""
+    import pyarrow.parquet as pq
+
+    tp, _, _ = mor_table
+    py_file = sorted(f.path for f in plan_scan(
+        tp, partition_filter={"lang": "py"}).data)[0]
+    first = pq.read_table(py_file).to_pylist()[0]["path"]
+    delete_positions(tp, [(py_file, 0)])
+    pruned = read_iceberg(spark, tp, partition_filter={"lang": "py"})
+    assert pruned.count() == 19  # 20 py rows - 1 deleted
+    assert pruned.where(pruned["path"] == first).count() == 0
+
+
+def test_equality_delete_and_reinsert(mor_table, spark):
+    """Equality deletes apply to STRICTLY older data files: rows
+    re-inserted after the delete survive it (spec sequence rule)."""
+    tp, _, _ = mor_table
+    n_r1c1 = read_iceberg(spark, tp) \
+        .where("repo = 'r1' and commit = 'c1'").count()
+    assert n_r1c1 > 0
+    delete_where_equal(tp, [{"repo": "r1", "commit": "c1"}])
+    df = read_iceberg(spark, tp)
+    assert df.where("repo = 'r1' and commit = 'c1'").count() == 0
+    assert df.count() == 40 - n_r1c1
+
+    # re-insert two (r1, c1) rows AFTER the delete: they must survive
+    append_snapshot(tp, [
+        {"repo": "r1", "path": "new/0", "commit": "c1", "lang": "py",
+         "content": "{}"},
+        {"repo": "r1", "path": "new/1", "commit": "c1", "lang": "go",
+         "content": "{}"}], SCHEMA, partition_by="lang")
+    df2 = read_iceberg(spark, tp)
+    assert df2.where("repo = 'r1' and commit = 'c1'").count() == 2
+    assert df2.count() == 42 - n_r1c1
+
+
+def test_stacked_position_and_equality_deletes(mor_table, spark):
+    """Both delete kinds in one table, committed in sequence, compose."""
+    import pyarrow.parquet as pq
+
+    tp, _, _ = mor_table
+    victim = sorted(plan_scan(tp).data, key=lambda f: f.path)[0]
+    row0 = pq.read_table(victim.path).to_pylist()[0]
+    delete_positions(tp, [(victim.path, 0)])
+    delete_where_equal(tp, [{"lang": "scala"}])
+    df = read_iceberg(spark, tp)
+    n_scala = 10  # _rows(30) puts every third row in scala
+    expect = 40 - n_scala - (0 if row0["lang"] == "scala" else 1)
+    assert df.count() == expect
+    assert df.where("lang = 'scala'").count() == 0
+    assert df.where(df["path"] == row0["path"]).count() == 0
+
+
+def test_read_table_routes_deletes(mor_table, spark):
+    """catalog.read_table over an Iceberg path applies deletes too —
+    the validation job sees merge-on-read semantics transparently."""
+    tp, _, _ = mor_table
+    victim = sorted(plan_scan(tp).data, key=lambda f: f.path)[0]
+    delete_positions(tp, [(victim.path, 0)])
+    assert read_table(spark, path=tp).count() == 39
+
+
+def test_run_validation_over_mor_table(mor_table, spark, capsys):
+    tp, _, _ = mor_table
+    delete_where_equal(tp, [{"lang": "go"}])
+    from schema_guru_spark.run_validation import main
+    main(["--input", tp, "--buckets", "4", "--cpus", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 30  # 40 - 10 go rows
 
 
 def test_read_table_partition_filter_same_semantics(table, spark,
