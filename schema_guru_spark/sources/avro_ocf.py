@@ -51,6 +51,8 @@ class _Reader:
         shift = 0
         accum = 0
         while True:
+            if self.pos >= len(self.buf):
+                raise EOFError("truncated avro data (varint)")
             byte = self.buf[self.pos]
             self.pos += 1
             accum |= (byte & 0x7F) << shift
@@ -107,6 +109,13 @@ def _decode(r: _Reader, schema: Any) -> Any:
                 if n < 0:
                     r.read_long()  # byte size of block, unused
                     n = -n
+                # a legitimate item consumes >= 1 byte here (no
+                # zero-field records / bare nulls in our schemas), so
+                # a count beyond the remaining bytes is corruption —
+                # reject it instead of allocating n placeholders
+                if n > len(r.buf) - r.pos:
+                    raise ValueError("array block count exceeds "
+                                     "remaining data")
                 for _ in range(n):
                     out.append(_decode(r, schema["items"]))
             return out
@@ -119,6 +128,9 @@ def _decode(r: _Reader, schema: Any) -> Any:
                 if n < 0:
                     r.read_long()
                     n = -n
+                if n > len(r.buf) - r.pos:
+                    raise ValueError("map block count exceeds "
+                                     "remaining data")
                 for _ in range(n):
                     k = r.read_bytes().decode("utf-8")
                     out[k] = _decode(r, schema["values"])
@@ -152,26 +164,53 @@ def read_ocf(path: str) -> tuple[dict, list]:
 
     The ``avro.schema`` metadata entry is returned parsed under key
     ``"schema"``; other metadata values stay raw bytes.
+
+    Corruption contract (same as the image/audio codecs,
+    tests/test_multimodal.py fuzz suite): a damaged file raises
+    ``ValueError`` or ``EOFError`` — never zlib/unicode/json/struct
+    internals leaking to the caller.
     """
     with open(path, "rb") as fh:
         data = fh.read()
+    try:
+        return _read_ocf_bytes(path, data)
+    except (EOFError, ValueError):
+        raise
+    except (IndexError, KeyError, TypeError, OverflowError,
+            UnicodeDecodeError, zlib.error, struct.error,
+            json.JSONDecodeError, RecursionError) as e:
+        raise ValueError(f"{path}: corrupt avro container "
+                         f"({e.__class__.__name__}: {e})") from e
+
+
+def _read_ocf_bytes(path: str, data: bytes) -> tuple[dict, list]:
     r = _Reader(data)
     if r.read(4) != MAGIC:
         raise ValueError(f"{path}: not an Avro object container file")
     meta_schema = {"type": "map", "values": "bytes"}
     meta = _decode(r, meta_schema)
     sync = r.read(16)
+    if "avro.schema" not in meta:
+        raise ValueError(f"{path}: header missing avro.schema")
     schema = _parse_schema(json.loads(meta["avro.schema"]), {})
     codec = meta.get("avro.codec", b"null").decode()
     records = []
     while r.pos < len(data):
         count = r.read_long()
         size = r.read_long()
+        if count < 0 or size < 0:
+            raise ValueError(f"{path}: negative block header")
         block = r.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
         elif codec != "null":
             raise ValueError(f"unsupported avro codec: {codec}")
+        if count > len(block):
+            # every record consumes >= 1 decoded byte in our schemas
+            # (no zero-field records), so a count past the decoded
+            # block length is corruption, not data
+            raise ValueError(f"{path}: block count {count} exceeds "
+                             f"decoded block length {len(block)}")
         br = _Reader(block)
         for _ in range(count):
             records.append(_decode(br, schema))

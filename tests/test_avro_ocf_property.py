@@ -82,3 +82,64 @@ def test_zigzag_long_extremes(tmp_path_factory, n):
     write_ocf(p, sch, [{"n": n}], codec="null")
     _, back = read_ocf(p)
     assert back[0]["n"] == n
+
+
+# ------------------------------------------------ corruption contract
+
+def _write_sample(tmp, codec):
+    p = str(tmp / f"c_{codec}.avro")
+    recs = [{"s": f"doc{i}", "n": i * 7 - 3, "i": i, "o": None if i % 3
+             else i, "d": i / 3.0, "bl": bool(i % 2),
+             "by": bytes([i % 256, 255 - i % 256]),
+             "fx": b"fxd" + bytes([i % 256]),
+             "e": "ABC"[i % 3],
+             "arr": [{"x": i}, {"x": -i}],
+             "m": {f"k{i}": f"v{i}"}} for i in range(40)]
+    write_ocf(p, SCHEMA, recs, codec=codec)
+    return p
+
+
+def test_corruption_contract_truncation(tmp_path):
+    """Every truncation either reads fine (header-only damage can be
+    benign) or raises ValueError/EOFError — never zlib/unicode/json/
+    struct internals, never an unbounded allocation."""
+    for codec in ("deflate", "null"):
+        p = _write_sample(tmp_path, codec)
+        blob = open(p, "rb").read()
+        q = str(tmp_path / "trunc.avro")
+        for cut in range(len(blob)):
+            with open(q, "wb") as fh:
+                fh.write(blob[:cut])
+            try:
+                read_ocf(q)
+            except (ValueError, EOFError):
+                pass
+
+
+def test_corruption_contract_bitflips(tmp_path):
+    for codec in ("deflate", "null"):
+        p = _write_sample(tmp_path, codec)
+        blob = bytearray(open(p, "rb").read())
+        q = str(tmp_path / "flip.avro")
+        for off in range(len(blob)):
+            for bit in (0x01, 0x80):
+                blob[off] ^= bit
+                with open(q, "wb") as fh:
+                    fh.write(blob)
+                try:
+                    read_ocf(q)
+                except (ValueError, EOFError):
+                    pass
+                blob[off] ^= bit
+
+
+def test_truncated_varint_is_eoferror(tmp_path):
+    q = str(tmp_path / "varint.avro")
+    # magic + a map count varint with its continuation bit set, then EOF
+    with open(q, "wb") as fh:
+        fh.write(b"Obj\x01" + b"\x81")
+    try:
+        read_ocf(q)
+        assert False, "expected EOFError"
+    except EOFError:
+        pass
