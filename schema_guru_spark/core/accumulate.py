@@ -210,14 +210,20 @@ def _accumulate_cold(acc: dict, value: Any, ctx: SchemaContext,
     raise TypeError(f"not a JSON value: {type(value)!r}")
 
 
+def gate_error_message(value: Any) -> str:
+    """The reference's scalar-instance rejection message
+    (SchemaGenerator.scala:54-59), shared by the per-value and batch
+    paths so violation payloads stay byte-identical."""
+    import json as _json
+    compact = _json.dumps(value, separators=(",", ":"))
+    return ("JSON instances must contain only objects or arrays. "
+            f"{compact[:32]} is unacceptable")
+
+
 def accumulate_doc(acc: dict, value: Any, ctx: SchemaContext) -> dict:
     """Top-level gate variant (objects/arrays only) — the hot-path twin
     of ``derive`` + merge. Raises ValueError with the reference's message
     for scalar instances (SchemaGenerator.scala:54-59)."""
     if not isinstance(value, (dict, list)):
-        import json as _json
-        compact = _json.dumps(value, separators=(",", ":"))
-        raise ValueError(
-            "JSON instances must contain only objects or arrays. "
-            f"{compact[:32]} is unacceptable")
+        raise ValueError(gate_error_message(value))
     return accumulate(acc, value, ctx)

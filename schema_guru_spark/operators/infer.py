@@ -76,7 +76,8 @@ def _derive_partial(ctx: SchemaContext, column: str):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from schema_guru_spark.core.accumulate import accumulate_doc
+        from schema_guru_spark.core.accumulate import gate_error_message
+        from schema_guru_spark.core.accumulate_batch import fold_docs
 
         acc: dict = {}  # task-private (accumulate mutates in place)
         n_ok = 0
@@ -90,6 +91,12 @@ def _derive_partial(ctx: SchemaContext, column: str):
             if n_null:
                 n_err += n_null
                 errs.extend(["null content"] * n_null)
+            # parse + top-level gate per distinct doc; the fold itself
+            # runs once per batch as a columnar pass (accumulate_batch:
+            # fold == sequential accumulate, law-pinned). A doc seen
+            # n >= 2 times enters the batch twice (monoid stabilizes
+            # after one self-merge — test_merge_self_stabilizes).
+            valid: list = []
             for text, cnt in zip(uniques, counts):
                 try:
                     value = fast_loads(text)
@@ -97,14 +104,16 @@ def _derive_partial(ctx: SchemaContext, column: str):
                     n_err += cnt
                     errs.extend([f"invalid JSON: {e}"] * cnt)
                     continue
-                try:
-                    accumulate_doc(acc, value, ctx)
+                if isinstance(value, (dict, list)):
+                    valid.append(value)
                     if cnt > 1:
-                        accumulate_doc(acc, value, ctx)
+                        valid.append(value)
                     n_ok += cnt
-                except ValueError as e:
+                else:
                     n_err += cnt
-                    errs.extend([str(e)] * cnt)
+                    errs.extend([gate_error_message(value)] * cnt)
+            if valid:
+                fold_docs(acc, valid, ctx)
             if errs:
                 yield pd.DataFrame({
                     "kind": _VIOLATION_KIND, "payload": errs,

@@ -162,7 +162,8 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from schema_guru_spark.core.accumulate import accumulate_doc
+        from schema_guru_spark.core.accumulate import gate_error_message
+        from schema_guru_spark.core.accumulate_batch import fold_docs
 
         states: dict[int, dict] = {}
         counters: dict[int, dict] = {}
@@ -233,6 +234,12 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
                         parse_err.append(f"invalid JSON: {e}")
                 errs: list[tuple] = []
                 jrepo = None  # repo attribution is error-only: stay lazy
+                # per-bucket doc batches: the fold runs once per
+                # (bucket, batch) as a columnar pass (accumulate_batch:
+                # fold == sequential accumulate, law-pinned); a doc with
+                # multiplicity n >= 2 enters twice (one self-merge
+                # stabilizes the monoid — test_merge_self_stabilizes)
+                bucket_docs: dict[int, list] = {}
                 for key, fi, cnt in zip(ukey.tolist(), first_idx.tolist(),
                                         kcounts.tolist()):
                     b = key // u_width
@@ -246,20 +253,27 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
                             jrepo = pdf["repo"].to_numpy()[jidx]
                         errs.extend([(b, jrepo[fi], "json", msg)] * cnt)
                         continue
-                    st = states.get(b)
-                    if st is None:
-                        st = states[b] = {}
                     value = parsed[code]
-                    try:
-                        accumulate_doc(st, value, ctx)
-                        if cnt > 1:
-                            accumulate_doc(st, value, ctx)
-                        c["n_json_ok"] += cnt
-                    except ValueError as e:
+                    if not isinstance(value, (dict, list)):
                         c["n_json_err"] += cnt
                         if jrepo is None:
                             jrepo = pdf["repo"].to_numpy()[jidx]
-                        errs.extend([(b, jrepo[fi], "json", str(e))] * cnt)
+                        errs.extend(
+                            [(b, jrepo[fi], "json",
+                              gate_error_message(value))] * cnt)
+                        continue
+                    docs = bucket_docs.get(b)
+                    if docs is None:
+                        docs = bucket_docs[b] = []
+                    docs.append(value)
+                    if cnt > 1:
+                        docs.append(value)
+                    c["n_json_ok"] += cnt
+                for b, docs in bucket_docs.items():
+                    st = states.get(b)
+                    if st is None:
+                        st = states[b] = {}
+                    fold_docs(st, docs, ctx)
                 if errs:
                     e = pd.DataFrame(errs, columns=["bucket", "repo", "lang",
                                                     "payload"])

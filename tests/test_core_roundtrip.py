@@ -203,3 +203,41 @@ def test_realistic_fixture():
     assert inc["properties"]["number"]["type"] == "integer"
     assert inc["properties"]["resolved_by_user"]["type"] == "null"
     assert validate(doc, rendered) == []
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.lists(json_docs, min_size=1, max_size=6))
+def test_fold_docs_equals_accumulate(docs):
+    """Columnar batch-fold law (core/accumulate_batch.py): fold_docs
+    over a batch == sequential accumulate_doc, byte-exact — across the
+    enum-disabled contexts the batch path owns (incl. quantity gating
+    base64 and derive_length off) AND the enum-enabled contexts where
+    fold_docs must route to the per-value fallback."""
+    from schema_guru_spark.core.accumulate import accumulate_doc
+    from schema_guru_spark.core.accumulate_batch import fold_docs
+    for ctx in (CTX,
+                SchemaContext.make(0, quantity=5),
+                SchemaContext.make(0, quantity=200),
+                SchemaContext.make(0, derive_length=False),
+                CTX_ENUM,
+                SchemaContext.make(2, enum_sets=[["x", "y"]], quantity=20)):
+        seq = {}
+        for d in docs:
+            accumulate_doc(seq, d, ctx)
+        batch = fold_docs({}, list(docs), ctx)
+        assert dumps(batch) == dumps(seq)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(json_docs, min_size=2, max_size=8),
+       st.integers(min_value=1, max_value=3))
+def test_fold_docs_batch_split_invariance(docs, cut):
+    """Folding one batch == folding any split of it into sub-batches
+    (the mapInPandas batch boundary must not be observable)."""
+    from schema_guru_spark.core.accumulate_batch import fold_docs
+    k = min(cut, len(docs) - 1)
+    one = fold_docs({}, list(docs), CTX)
+    split = {}
+    fold_docs(split, list(docs[:k]), CTX)
+    fold_docs(split, list(docs[k:]), CTX)
+    assert dumps(one) == dumps(split)
