@@ -293,7 +293,8 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
     return fn
 
 
-def _combine_buckets(ctx: SchemaContext, max_err_rate: float = 0.0):
+def _combine_buckets(ctx: SchemaContext, max_err_rate: float = 0.0,
+                     keep_state: bool = False):
     """applyInPandas over the tiny per-(task,bucket) state rows.
 
     A bucket passes when its JSON parse-error rate (errors / attempted
@@ -323,9 +324,16 @@ def _combine_buckets(ctx: SchemaContext, max_err_rate: float = 0.0):
         err_rate = (c["n_json_err"] / n_json) if n_json else 0.0
         ok = (err_rate <= max_err_rate and c["n_sha_bad"] == 0
               and c["n_lang_bad"] == 0)
-        return pd.DataFrame([{
-            "bucket": bucket, **c, "schema": schema_json, "passed": ok,
-        }])
+        row = {"bucket": bucket, **c, "schema": schema_json,
+               "passed": ok}
+        if keep_state:
+            # the raw monoid state alongside the rendered schema:
+            # serialized states from different runs re-merge exactly
+            # (incremental validation's cross-delta schema), which the
+            # rendered form cannot do (enum cutoffs and range encasing
+            # are lossy)
+            row["state"] = dumps(acc)
+        return pd.DataFrame([row])
 
     return fn
 
@@ -333,6 +341,7 @@ def _combine_buckets(ctx: SchemaContext, max_err_rate: float = 0.0):
 _VERDICT_SCHEMA = ("bucket int, n_rows bigint, n_json_ok bigint, "
                    "n_json_err bigint, n_sha_bad bigint, n_lang_bad bigint, "
                    "schema string, passed boolean")
+_VERDICT_SCHEMA_STATE = _VERDICT_SCHEMA + ", state string"
 
 
 @dataclass
@@ -355,6 +364,7 @@ def validate_repo_table(
     psi_threshold: float = 0.25,
     max_violation_examples: int = 1000,
     max_err_rate: float = 0.0,
+    keep_state: bool = False,
 ) -> ValidationResult:
     """Run the full validation; resumable when checkpoint_dir is set.
 
@@ -440,8 +450,11 @@ def validate_repo_table(
                                  F.col("payload").alias("detail")))
         verdicts = (raw.where(F.col("kind") != "violation")
                     .groupBy("bucket")
-                    .applyInPandas(_combine_buckets(ctx, max_err_rate),
-                                   _VERDICT_SCHEMA))
+                    .applyInPandas(
+                        _combine_buckets(ctx, max_err_rate,
+                                         keep_state=keep_state),
+                        _VERDICT_SCHEMA_STATE if keep_state
+                        else _VERDICT_SCHEMA))
 
         if not ckpt:
             # materialize the tiny verdicts and the violation rows NOW so

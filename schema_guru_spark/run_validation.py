@@ -63,6 +63,20 @@ def main(argv=None) -> dict:
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--incremental", action="store_true",
+                    help="validate only what was appended to the "
+                         "Iceberg table at --input since the last "
+                         "--incremental run against --checkpoint; "
+                         "first run validates the current snapshot. "
+                         "Reports this delta plus the exact cumulative "
+                         "whole-table view (counters summed, schemas "
+                         "monoid-merged, uniqueness via HLL-union).")
+    ap.add_argument("--on-nonappend", choices=("error", "rebase"),
+                    default="error",
+                    help="what an incremental run does when the "
+                         "snapshot window contains a delete/overwrite: "
+                         "error out (default) or rebase — start a new "
+                         "epoch with a full re-validation")
     args = ap.parse_args(argv)
 
     from schema_guru_spark.session import get_spark
@@ -71,6 +85,32 @@ def main(argv=None) -> dict:
 
     spark = get_spark("sgs-validate", master=f"local[{args.cpus}]",
                       shuffle_partitions=max(args.cpus, 8))
+
+    if args.incremental:
+        if not args.input or not args.checkpoint:
+            ap.error("--incremental requires --input (an Iceberg table "
+                     "path) and --checkpoint")
+        if args.snapshot_id is not None or args.synthesize or args.table:
+            ap.error("--incremental is incompatible with --snapshot-id/"
+                     "--synthesize/--table (the checkpoint state pins "
+                     "the snapshot window)")
+        from schema_guru_spark.plans.incremental import incremental_validate
+        t0 = time.time()
+        rep = incremental_validate(
+            spark, args.input, args.checkpoint,
+            n_buckets=args.buckets, n_salts=args.salts,
+            chunk_size=args.chunk_size, max_err_rate=args.max_err_rate,
+            partition_filter=({"lang": args.langs.split(",")}
+                              if args.langs else None),
+            on_nonappend=args.on_nonappend)
+        rep["wall_sec"] = round(time.time() - t0, 3)
+        rep["cpus"] = args.cpus
+        line = json.dumps(rep)
+        print(line)
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                f.write(line + "\n")
+        return rep
 
     if args.synthesize:
         if args.snapshot_id is not None:

@@ -111,3 +111,48 @@ def read_table(spark: SparkSession, table: Optional[str] = None,
                 "lineage")
         return _residual(spark.read.parquet(path))
     raise ValueError("read_table needs a table name or a parquet path")
+
+
+def read_table_appends(spark: SparkSession, table: Optional[str] = None,
+                       path: Optional[str] = None, *,
+                       from_snapshot_id: int,
+                       to_snapshot_id: Optional[int] = None,
+                       partition_filter: Optional[dict] = None
+                       ) -> DataFrame:
+    """Rows appended to an Iceberg table in ``(from, to]`` — the
+    incremental-consumption twin of ``read_table``.
+
+    Catalog tables use the Iceberg runtime's own incremental read
+    options (``start-snapshot-id``/``end-snapshot-id``, exclusive/
+    inclusive, same appends-only semantics); Iceberg paths go through
+    the pure-Python metadata layer's ``plan_incremental``. A bare
+    parquet directory is a loud error — no snapshot lineage, no
+    well-defined delta.
+    """
+    from pyspark.sql import functions as F
+
+    def _residual(df: DataFrame) -> DataFrame:
+        for col, want in (partition_filter or {}).items():
+            allowed = list(want) if isinstance(want, (list, tuple,
+                                                      set)) else [want]
+            df = df.where(F.col(col).isin(allowed))
+        return df
+
+    if table:
+        reader = (spark.read.option("start-snapshot-id",
+                                    str(from_snapshot_id)))
+        if to_snapshot_id is not None:
+            reader = reader.option("end-snapshot-id",
+                                   str(to_snapshot_id))
+        return _residual(reader.table(table))
+    if path:
+        if _is_iceberg_path(path):
+            from .iceberg_meta import read_iceberg_incremental
+            return _residual(read_iceberg_incremental(
+                spark, path, from_snapshot_id,
+                to_snapshot_id=to_snapshot_id,
+                partition_filter=partition_filter))
+        raise ValueError(
+            "incremental read requires a catalog table or an Iceberg "
+            "table path; a parquet directory has no snapshot lineage")
+    raise ValueError("read_table_appends needs a table name or a path")

@@ -236,6 +236,150 @@ def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
     return ScanPlan(data, deletes)
 
 
+def _ancestors_between(meta: dict, from_snapshot_id: int,
+                       to_snapshot_id: int) -> list[dict]:
+    """Snapshots strictly after ``from`` up to and including ``to``,
+    oldest first, following the ``parent-snapshot-id`` chain from
+    ``to``. Raises ``LookupError`` when ``from`` is not an ancestor of
+    ``to`` (diverged or unrelated history — an incremental consumer
+    must not silently skip or double-read commits).
+
+    Snapshots written before this engine recorded parent ids fall back
+    to the metadata's append-ordered ``snapshots`` list (our writers
+    only ever produce linear history; real metadata.json preserves
+    commit order too, and any snapshot that DOES carry a parent id is
+    still verified against the chain).
+    """
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if to_snapshot_id not in by_id:
+        raise LookupError(f"snapshot {to_snapshot_id} not in table "
+                          f"metadata (have {sorted(by_id)})")
+    if from_snapshot_id not in by_id:
+        raise LookupError(f"snapshot {from_snapshot_id} not in table "
+                          f"metadata (have {sorted(by_id)})")
+    chain: list[dict] = []
+    cur = by_id[to_snapshot_id]
+    ordered = meta.get("snapshots", [])
+    while cur["snapshot-id"] != from_snapshot_id:
+        chain.append(cur)
+        parent = cur.get("parent-snapshot-id")
+        if parent is None:
+            # legacy linear fallback: the predecessor in commit order
+            idx = next(i for i, s in enumerate(ordered)
+                       if s["snapshot-id"] == cur["snapshot-id"])
+            if idx == 0:
+                raise LookupError(
+                    f"snapshot {from_snapshot_id} is not an ancestor "
+                    f"of {to_snapshot_id}")
+            cur = ordered[idx - 1]
+        else:
+            if parent not in by_id:
+                raise LookupError(
+                    f"parent snapshot {parent} of {cur['snapshot-id']} "
+                    "expired from table metadata — incremental window "
+                    "too old, fall back to a full scan")
+            cur = by_id[parent]
+    chain.reverse()
+    return chain
+
+
+def plan_incremental(table_path: str, from_snapshot_id: int,
+                     to_snapshot_id: Optional[int] = None,
+                     partition_filter: Optional[dict[str, Any]] = None,
+                     ) -> ScanPlan:
+    """Plan an incremental APPEND scan: exactly the data files added by
+    snapshots in ``(from, to]``, from the metadata alone.
+
+    This is the resume-after-table-growth primitive at 10^12-file
+    scale: re-validating a table after a daily append must plan only
+    the appended files — never re-list, re-open, or re-read the
+    petabytes already validated. Matches Iceberg's own
+    ``appendsBetween`` semantics: every snapshot in the range must be
+    a pure ``append`` (a delete/overwrite/replace in the window makes
+    "only the new rows" ill-defined — rows also vanished), otherwise
+    ``NotImplementedError`` tells the caller to fall back to a full
+    scan of ``to``.
+
+    Added files are found WITHOUT reading older manifests: only
+    manifests whose ``added_snapshot_id`` is in the window are opened
+    (a fast-append commit carries prior manifests forward untouched),
+    and within them only status=ADDED entries of the window's
+    snapshots are kept. Partition pruning applies as in ``plan_scan``.
+    """
+    meta = load_table_metadata(table_path)
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id")
+        if to_snapshot_id in (None, -1):
+            raise LookupError(f"{table_path}: empty table, no snapshot")
+    if from_snapshot_id == to_snapshot_id:
+        return ScanPlan([], [])
+    window = _ancestors_between(meta, from_snapshot_id, to_snapshot_id)
+    window_ids = {s["snapshot-id"] for s in window}
+    data: list[DataFile] = []
+    for snap in window:
+        op = (snap.get("summary") or {}).get("operation", "append")
+        if op != "append":
+            raise NotImplementedError(
+                f"snapshot {snap['snapshot-id']} in the incremental "
+                f"window is '{op}', not 'append' — appends-between is "
+                "undefined across row-removing commits; re-validate "
+                "with a full scan of the target snapshot")
+        _, manifests = read_ocf(_strip_file_uri(snap["manifest-list"]))
+        for mf in manifests:
+            if mf["added_snapshot_id"] != snap["snapshot-id"]:
+                continue  # carried forward from an older commit
+            if mf.get("content", 0) != 0:
+                raise NotImplementedError(
+                    f"snapshot {snap['snapshot-id']} summary says "
+                    "'append' but added a delete manifest — corrupt "
+                    "or mislabeled metadata; full scan required")
+            ident = _identity_fields(meta, mf["partition_spec_id"])
+            _, entries = read_ocf(_strip_file_uri(mf["manifest_path"]))
+            for e in entries:
+                if e["status"] != 1:  # only ADDED entries
+                    continue
+                if e.get("snapshot_id") not in (None,
+                                                snap["snapshot-id"]):
+                    continue
+                if e.get("snapshot_id") is None and \
+                        mf["added_snapshot_id"] not in window_ids:
+                    continue
+                df = e["data_file"]
+                seq = e.get("sequence_number")
+                if seq is None:
+                    seq = mf.get("sequence_number", 0)
+                part = {ident[k]: v for k, v in df["partition"].items()
+                        if k in ident}
+                if not _partition_keeps(part, partition_filter):
+                    continue
+                data.append(DataFile(
+                    path=_strip_file_uri(df["file_path"]),
+                    record_count=df["record_count"],
+                    file_size_in_bytes=df["file_size_in_bytes"],
+                    partition=part, sequence_number=seq))
+    return ScanPlan(data, [])
+
+
+def read_iceberg_incremental(spark, table_path: str,
+                             from_snapshot_id: int,
+                             to_snapshot_id: Optional[int] = None,
+                             partition_filter: Optional[dict] = None):
+    """DataFrame of exactly the rows appended in ``(from, to]`` —
+    a parquet scan over the incrementally planned file list (no
+    delete application needed: the window is append-only by
+    construction, see ``plan_incremental``)."""
+    plan = plan_incremental(table_path, from_snapshot_id,
+                            to_snapshot_id, partition_filter)
+    if not plan.data:
+        meta = load_table_metadata(table_path)
+        sch = next(s for s in meta["schemas"]
+                   if s["schema-id"] == meta["current-schema-id"])
+        ddl = ", ".join(f"`{f['name']}` {_ICE_TO_SPARK[f['type']]}"
+                        for f in sch["fields"])
+        return spark.createDataFrame([], ddl)
+    return spark.read.parquet(*[f.path for f in plan.data])
+
+
 def data_files(table_path: str, snapshot_id: Optional[int] = None,
                partition_filter: Optional[dict[str, Any]] = None,
                ) -> list[DataFile]:
@@ -565,6 +709,8 @@ def append_snapshot(table_path: str, rows: list[dict],
                 "timestamp-ms": _FIXED_TS_MS + snap_id,
                 "manifest-list": "file://" + mlist_path,
                 "summary": {"operation": "append"}, "schema-id": 0}
+    if prev is not None and prev.get("current-snapshot-id", -1) != -1:
+        snapshot["parent-snapshot-id"] = prev["current-snapshot-id"]
     meta = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL,
@@ -681,7 +827,8 @@ def _commit_delete_snapshot(table_path: str, del_file_rel: str,
         "snapshot-id": snap_id, "sequence-number": seq,
         "timestamp-ms": _FIXED_TS_MS + snap_id,
         "manifest-list": "file://" + mlist_path,
-        "summary": {"operation": "delete"}, "schema-id": 0}]
+        "summary": {"operation": "delete"}, "schema-id": 0,
+        "parent-snapshot-id": prev["current-snapshot-id"]}]
     with open(os.path.join(mdir, f"v{version + 1}.metadata.json"),
               "w") as fh:
         json.dump(meta, fh, indent=1)
