@@ -191,8 +191,9 @@ def q_quality_docs(spark, sf):
 
 
 def q_pii_docs(spark, sf):
-    return TS.pii_scan(_t(spark, sf, "documents"), "text", "doc_id") \
-             .orderBy("id")
+    # pii_scan's output is already id-sorted (narrow pre-sort inside
+    # the operator; re-sorting here would recompute the regex pass)
+    return TS.pii_scan(_t(spark, sf, "documents"), "text", "doc_id")
 
 
 def q_fingerprint_md5_docs(spark, sf):

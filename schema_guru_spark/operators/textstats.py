@@ -31,16 +31,31 @@ def _words(col: Column) -> Column:
     return F.array_remove(F.split(F.lower(F.trim(col)), r"\s+"), "")
 
 
+def _presorted(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Globally sort the NARROW (id, text) rows BEFORE a per-row signal
+    projection. The per-row operators here return sorted-by-id output
+    from an otherwise shuffle-less plan; range partitioning samples its
+    child to pick bounds, and with no shuffle (whose files a recompute
+    would reuse) underneath, that sampling pass re-executes the ENTIRE
+    per-row computation a second time — measured 2.4x on
+    repetition_signals at sf0.1. Sorting the cheap narrow projection
+    first runs the signals exactly once: projections preserve both
+    intra-partition order and the range-partitioned partition order."""
+    return df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("_t")).orderBy("id")
+
+
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens + chars.
     regexp_count keeps it codegen'd."""
-    c = F.col(text_col)
-    return df.select(
-        F.col(id_col).alias("id"),
+    src = _presorted(df, id_col, text_col)
+    c = F.col("_t")
+    return src.select(
+        "id",
         F.size(_words(c)).alias("n_ws_tokens"),
         F.regexp_count(c, F.lit(BPE_ISH_RE)).alias("n_bpe_tokens"),
         F.length(c).alias("n_chars"),
-    ).orderBy("id")
+    )
 
 
 def quality_scores(df: DataFrame, text_col: str, id_col: str,
@@ -52,16 +67,17 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str,
         score = 0.25*len_ok + 0.25*(1 - punct_ratio_capped)
               + 0.25*stop_ok + 0.25*word_len_ok
     """
-    q = _quality_cols(F.col(text_col), lang)
-    return df.select(
-        F.col(id_col).alias("id"),
+    src = _presorted(df, id_col, text_col)
+    q = _quality_cols(F.col("_t"), lang)
+    return src.select(
+        "id",
         q["n_chars"].alias("n_chars"),
         q["n_words"].alias("n_words"),
         q["punct_ratio"].alias("punct_ratio"),
         q["stopword_hits"].alias("stopword_hits"),
         q["mean_word_len"].alias("mean_word_len"),
         q["quality"].alias("quality"),
-    ).orderBy("id")
+    )
 
 
 def _quality_cols(c: Column, lang: str = "en") -> dict:
@@ -95,20 +111,21 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Stopword-hit language ID: count DISTINCT stopword hits per
     language (array_intersect — codegen), argmax with deterministic
     alphabetical tiebreak; 'und' (undetermined) when no hits."""
-    words = _words(F.col(text_col))
+    src = _presorted(df, id_col, text_col)
+    words = _words(F.col("_t"))
     hits = [
         F.size(F.array_intersect(
             words, F.array(*[F.lit(w) for w in sw]))).alias(f"h_{lang}")
         for lang, sw in sorted(STOPWORDS.items())
     ]
     langs = sorted(STOPWORDS)
-    base = df.select(F.col(id_col).alias("id"), *hits)
+    base = src.select("id", *hits)
     best = F.greatest(*[F.col(f"h_{la}") for la in langs])
     pred = F.when(best <= 0, F.lit("und"))
     for la in langs:  # alphabetical order => deterministic tiebreak
         pred = pred.when(F.col(f"h_{la}") == best, F.lit(la))
     return base.select("id", *[f"h_{la}" for la in langs],
-                       pred.alias("lang_pred")).orderBy("id")
+                       pred.alias("lang_pred"))
 
 
 def _lang_pred_expr(c: Column) -> Column:
@@ -140,7 +157,8 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
     60-bit) so the DuckDB oracle reproduces it exactly. All JVM array
     expressions — one pass, no shuffle, no Python.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    src = _presorted(df, id_col, text_col)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("_t"))), r"\s+", " ")
     # bind norm: an unbound reference re-runs the regexp_replace once
     # per k-gram inside the interpreted transform (see _bind)
     kgram_hashes = _bind(norm, lambda nm: F.transform(
@@ -156,14 +174,14 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
         F.sequence(F.lit(1), n_wins),
         lambda i: F.array_min(F.slice(F.col(kh), i, window)),
     )
-    return (df.withColumn(kh, kgram_hashes)
+    return (src.withColumn(kh, kgram_hashes)
             .select(
-                F.col(id_col).alias("id"),
+                "id",
                 F.md5(norm).alias("content_md5"),
                 F.array_min(F.col(kh)).alias("winnow_min"),
                 F.array_join(F.array_sort(F.array_distinct(window_mins)),
                              ",").alias("winnow_fps"),
-            ).orderBy("id"))
+            ))
 
 
 # PII patterns — cross-engine (Spark regexp_count / DuckDB) regexes.
@@ -182,10 +200,12 @@ def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     training-data pipeline runs before release. Pure JVM regexp_count
     inside codegen; one pass, no shuffle; each count is an independent
     column so downstream policy (drop / redact / flag) filters push
-    down to the scan."""
-    c = F.col(text_col)
-    out = df.select(
-        F.col(id_col).alias("id"),
+    down to the scan. Output is id-sorted (narrow pre-sort, see
+    ``_presorted`` — a trailing orderBy would run the regexes twice)."""
+    src = _presorted(df, id_col, text_col)
+    c = F.col("_t")
+    out = src.select(
+        "id",
         F.regexp_count(c, F.lit(PII_EMAIL_RE)).alias("n_email"),
         F.regexp_count(c, F.lit(PII_PHONE_RE)).alias("n_phone"),
         F.regexp_count(c, F.lit(PII_SSN_RE)).alias("n_ssn"),
@@ -252,21 +272,23 @@ def repetition_signals(df: DataFrame, text_col: str,
           count share, not Gopher's character share, so ties between
           equal-count grams of different lengths stay deterministic)
 
-    100 TB story: zero shuffle — every signal is a per-row array
-    expression (sort + run-length scan via ``aggregate``), so the
-    operator is embarrassingly parallel and pipelines with the scan.
+    100 TB story: every signal is a per-row array expression (sort +
+    run-length scan via ``aggregate``), embarrassingly parallel; the
+    only exchange is the narrow (id, text) pre-sort that provides the
+    sorted output order (see ``_presorted`` — sorting first keeps the
+    signal computation single-pass).
     The run-length scan makes the top-gram count O(g log g) per doc
     instead of the O(g^2) per-distinct-gram filter count. The word and
     gram arrays are ``_bind``-materialized once per row, and the signal
     struct is projected in a separate step so field extraction doesn't
     re-run the whole computation.
     """
-    sig = _repetition_struct(F.col(text_col))
-    return (df.select(F.col(id_col).alias("id"), sig.alias("_s"))
+    src = _presorted(df, id_col, text_col)
+    sig = _repetition_struct(F.col("_t"))
+    return (src.select("id", sig.alias("_s"))
             .select("id", "_s.n_words", "_s.n_2grams", "_s.dup_2gram_frac",
                     "_s.dup_3gram_frac", "_s.top_2gram_n",
-                    "_s.top_2gram_frac")
-            .orderBy("id"))
+                    "_s.top_2gram_frac"))
 
 
 def _repetition_struct(c: Column) -> Column:
@@ -387,6 +409,10 @@ def curation_report(docs: DataFrame, text_col: str, id_col: str,
     per doc. The earlier shape scanned the corpus TWICE (signals +
     gram explode) and joined a distinct contaminated-id set back on id.
     """
+    keep, reasons = _verdict_cols(quality_min, dup3_max, top2_max,
+                                  allowed_langs)
+    out_cols = ["id", "lang_pred", "quality", "dup_3gram_frac",
+                "top_2gram_frac", "has_pii", "contaminated"]
     if bench is not None:
         grams = _distinct_ngrams(F.col(text_col), contamination_n)
         bg = (bench.select(F.explode(_distinct_ngrams(
@@ -403,16 +429,18 @@ def curation_report(docs: DataFrame, text_col: str, id_col: str,
                 .groupBy("id")
                 .agg(*[F.any_value(c).alias(c) for c in sig_cols],
                      (F.count("_hit") > 0).alias("contaminated")))
-    else:
-        base = (_curation_signals_df(docs, text_col, id_col)
-                .withColumn("contaminated", F.lit(False)))
-    keep, reasons = _verdict_cols(quality_min, dup3_max, top2_max,
-                                  allowed_langs)
-    return base.select(
-        "id", "lang_pred", "quality", "dup_3gram_frac", "top_2gram_frac",
-        "has_pii", "contaminated",
-        keep.alias("keep"), reasons.alias("reasons"),
-    ).orderBy("id")
+        # the sort's range sampling re-reads the groupBy's shuffle
+        # files here, not the corpus scan — cheap, unlike the
+        # shuffle-less branch below
+        return base.select(*out_cols, keep.alias("keep"),
+                           reasons.alias("reasons")).orderBy("id")
+    # no benchmark: pure per-row plan — pre-sort the narrow input so
+    # the trailing order doesn't recompute the signals (_presorted)
+    base = (_curation_signals_df(_presorted(docs, id_col, text_col),
+                                 "_t", "id")
+            .withColumn("contaminated", F.lit(False)))
+    return base.select(*out_cols, keep.alias("keep"),
+                       reasons.alias("reasons"))
 
 
 def _curation_signals_df(docs: DataFrame, text_col: str, id_col: str,

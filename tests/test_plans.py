@@ -203,3 +203,35 @@ def test_duplicate_keys_distributed_no_cartesian(tables):
     assert "BroadcastNestedLoopJoin" not in p
     # the deletion-variant equi-join is a real join on the variant key
     assert "variant" in p
+
+
+def test_per_row_ops_sort_below_signal_projection(tables):
+    """The per-row signal operators must sort the NARROW (id, text)
+    input and project the signals ABOVE the sort: a trailing orderBy
+    over a shuffle-less per-row plan makes range-partitioning's bound
+    sampling re-execute the whole signal computation (measured 2.4x on
+    repetition_signals at sf0.1). Plans print top-down, so the signal
+    marker expression must appear BEFORE the range exchange."""
+    from schema_guru_spark.operators import textstats as TS
+    docs = tables["documents"]
+    cases = [
+        # regexp_count prints as size(regexp_extract_all(...)) in plans
+        (TS.repetition_signals(docs, "text", "doc_id"), "array_sort"),
+        (TS.quality_scores(docs, "text", "doc_id"), "regexp_extract_all"),
+        (TS.pii_scan(docs, "text", "doc_id"), "regexp_extract_all"),
+        (TS.token_stats(docs, "text", "doc_id"), "regexp_extract_all"),
+        (TS.lang_id(docs, "text", "doc_id"), "array_intersect"),
+        (TS.fingerprints(docs, "text", "doc_id"), "array_sort"),
+        (TS.curation_report(docs, "text", "doc_id"), "array_sort"),
+    ]
+    for df, marker in cases:
+        # simple mode prints ONE top-down tree (formatted mode's
+        # numbered detail section is bottom-up and would lie here)
+        lines = plan_of(df, mode="simple").splitlines()
+        i_marker = next((i for i, ln in enumerate(lines)
+                         if marker in ln), -1)
+        i_range = next((i for i, ln in enumerate(lines)
+                        if "rangepartitioning" in ln), -1)
+        assert i_marker != -1 and i_range != -1, (marker, lines[:6])
+        assert i_marker < i_range, \
+            f"signal '{marker}' computed below the sort exchange"
