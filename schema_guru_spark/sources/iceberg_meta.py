@@ -72,6 +72,17 @@ def _strip_file_uri(p: str) -> str:
 
 # ------------------------------------------------------------------ read
 
+def _schema_by_id(meta: dict, schema_id: int) -> dict:
+    for sch in meta["schemas"]:
+        if sch["schema-id"] == schema_id:
+            return sch
+    raise LookupError(f"schema {schema_id} not in table metadata")
+
+
+def _current_schema(meta: dict) -> dict:
+    return _schema_by_id(meta, meta["current-schema-id"])
+
+
 @dataclass
 class DataFile:
     path: str
@@ -79,6 +90,10 @@ class DataFile:
     file_size_in_bytes: int
     partition: dict[str, Any]  # identity-transform fields only
     sequence_number: int = 0   # data sequence number (delete scoping)
+    schema_id: int = 0         # schema the file was WRITTEN under
+    #   (the adding snapshot's schema-id): a file written before a
+    #   column rename carries the old physical name; the reader
+    #   projects it to the current schema by FIELD ID
 
 
 @dataclass
@@ -89,6 +104,7 @@ class DeleteFile:
     sequence_number: int
     equality_ids: list[int]    # schema field ids (content == 2 only)
     partition: dict[str, Any]
+    schema_id: int = 0         # schema at write time (see DataFile)
 
 
 @dataclass
@@ -184,6 +200,11 @@ def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
     snap = _select_snapshot(meta, snapshot_id)
     if not snap:
         return ScanPlan([], [])
+    # schema each file was written under = its ADDING snapshot's
+    # schema-id (resolves renamed columns by field id at read time)
+    snap_schema = {s["snapshot-id"]: s.get("schema-id",
+                                           meta["current-schema-id"])
+                   for s in meta.get("snapshots", [])}
     _, manifests = read_ocf(_strip_file_uri(snap["manifest-list"]))
     data: list[DataFile] = []
     deletes: list[DeleteFile] = []
@@ -204,6 +225,11 @@ def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
             if not _partition_keeps(part, partition_filter):
                 continue
             content = df.get("content", 0)
+            added_by = e.get("snapshot_id")
+            if added_by is None:
+                added_by = mf.get("added_snapshot_id")
+            file_schema = snap_schema.get(added_by,
+                                          meta["current-schema-id"])
             if mf.get("content", 0) == 0:
                 if content != 0:
                     raise ValueError(
@@ -213,7 +239,8 @@ def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
                     path=_strip_file_uri(df["file_path"]),
                     record_count=df["record_count"],
                     file_size_in_bytes=df["file_size_in_bytes"],
-                    partition=part, sequence_number=seq))
+                    partition=part, sequence_number=seq,
+                    schema_id=file_schema))
             else:
                 if content not in (1, 2):
                     raise ValueError(
@@ -225,7 +252,7 @@ def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
                     record_count=df["record_count"],
                     sequence_number=seq,
                     equality_ids=list(df.get("equality_ids") or []),
-                    partition=part))
+                    partition=part, schema_id=file_schema))
     if deletes:
         # keep only deletes that can affect a surviving data file
         min_data_seq = min((d.sequence_number for d in data), default=0)
@@ -356,7 +383,9 @@ def plan_incremental(table_path: str, from_snapshot_id: int,
                     path=_strip_file_uri(df["file_path"]),
                     record_count=df["record_count"],
                     file_size_in_bytes=df["file_size_in_bytes"],
-                    partition=part, sequence_number=seq))
+                    partition=part, sequence_number=seq,
+                    schema_id=snap.get(
+                        "schema-id", meta["current-schema-id"])))
     return ScanPlan(data, [])
 
 
@@ -418,6 +447,73 @@ def _norm_path(col):
     return F.regexp_replace(col, "^file:/+", "/")
 
 
+# physical -> logical type widenings the spec allows under evolution
+_WIDEN_OK = {("int", "long"), ("float", "double")}
+
+
+def _project_to_schema(df, meta: dict, file_schema_id: int,
+                       cur_schema: dict, keep: tuple = ()):
+    """Project a DataFrame read from files written under
+    ``file_schema_id`` to the table's current schema, resolving every
+    column by FIELD ID (rename/reorder-proof) with spec-safe widening
+    casts; columns added after the files were written read as null."""
+    from pyspark.sql import functions as F
+
+    old_by_id = {f["id"]: f
+                 for f in _schema_by_id(meta, file_schema_id)["fields"]}
+    cols = [F.col(k) for k in keep]
+    for f in cur_schema["fields"]:
+        of = old_by_id.get(f["id"])
+        if of is None:
+            cols.append(F.lit(None).cast(_ICE_TO_SPARK[f["type"]])
+                        .alias(f["name"]))
+        elif of["type"] == f["type"]:
+            cols.append(F.col(of["name"]).alias(f["name"]))
+        elif (of["type"], f["type"]) in _WIDEN_OK:
+            cols.append(F.col(of["name"])
+                        .cast(_ICE_TO_SPARK[f["type"]]).alias(f["name"]))
+        else:
+            raise NotImplementedError(
+                f"schema evolution {of['type']} -> {f['type']} on "
+                f"field id {f['id']} is not a spec-safe widening")
+    return df.select(*cols)
+
+
+def rename_column(table_path: str, old_name: str, new_name: str) -> int:
+    """Metadata-only commit renaming a column (Iceberg `ALTER TABLE
+    RENAME COLUMN`): appends a new schema with the SAME field ids and
+    bumps ``current-schema-id`` — no snapshot, no data rewrite. Files
+    written before the rename keep the old physical name; readers map
+    them by field id (``_project_to_schema``). Returns the new
+    schema-id."""
+    table_path = os.path.abspath(table_path)
+    meta = load_table_metadata(table_path)
+    mdir = os.path.join(table_path, "metadata")
+    version = max(int(m.group(1)) for f in os.listdir(mdir)
+                  if (m := re.match(r"v(\d+)\.metadata\.json$", f)))
+    cur = _current_schema(meta)
+    names = [f["name"] for f in cur["fields"]]
+    if old_name not in names:
+        raise ValueError(f"no column {old_name!r} (have {names})")
+    if new_name in names:
+        raise ValueError(f"column {new_name!r} already exists")
+    new_id = max(s["schema-id"] for s in meta["schemas"]) + 1
+    new_schema = {
+        "type": "struct", "schema-id": new_id,
+        "fields": [dict(f, name=new_name) if f["name"] == old_name
+                   else dict(f) for f in cur["fields"]]}
+    out = dict(meta)
+    out["schemas"] = meta["schemas"] + [new_schema]
+    out["current-schema-id"] = new_id
+    out["last-updated-ms"] = meta["last-updated-ms"] + 1
+    with open(os.path.join(mdir, f"v{version + 1}.metadata.json"),
+              "w") as fh:
+        json.dump(out, fh, indent=1)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(version + 1))
+    return new_id
+
+
 def read_iceberg(spark, table_path: str,
                  snapshot_id: Optional[int] = None,
                  partition_filter: Optional[dict[str, Any]] = None):
@@ -442,18 +538,40 @@ def read_iceberg(spark, table_path: str,
     Small delete sets (known from manifest record counts) are
     broadcast; large ones are left to AQE.
     """
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
     from pyspark.sql import functions as F
 
+    meta = load_table_metadata(table_path)
+    cur_schema = _current_schema(meta)
     plan = plan_scan(table_path, snapshot_id, partition_filter)
     if not plan.data:
-        meta = load_table_metadata(table_path)
-        sch = next(s for s in meta["schemas"]
-                   if s["schema-id"] == meta["current-schema-id"])
         ddl = ", ".join(
             f"`{f['name']}` {_ICE_TO_SPARK[f['type']]}"
-            for f in sch["fields"])
+            for f in cur_schema["fields"])
         return spark.createDataFrame([], ddl)
-    df = spark.read.parquet(*[f.path for f in plan.data])
+
+    # group files by the schema they were written under and project
+    # each group to the CURRENT schema by FIELD ID — renames map to
+    # the new name, reorders normalize, dropped-then-readded or
+    # late-added columns come back as nulls, int->long / float->double
+    # widen. (Real Iceberg resolves the same way; name-based reads
+    # would silently miss renamed columns.)
+    by_schema: dict[int, list[str]] = {}
+    for f in plan.data:
+        by_schema.setdefault(f.schema_id, []).append(f.path)
+    parts = []
+    for sid, paths in sorted(by_schema.items()):
+        g = spark.read.parquet(*paths)
+        if plan.deletes:
+            g = (g.withColumn("__sg_path",
+                              _norm_path(F.col("_metadata.file_path")))
+                  .withColumn("__sg_pos", F.col("_metadata.row_index")))
+        parts.append(_project_to_schema(
+            g, meta, sid, cur_schema,
+            keep=("__sg_path", "__sg_pos") if plan.deletes else ()))
+    df = reduce(_DF.unionByName, parts)
     if not plan.deletes:
         return df
 
@@ -461,18 +579,14 @@ def read_iceberg(spark, table_path: str,
         return F.broadcast(del_df) if n_rows <= _BROADCAST_DELETE_ROWS \
             else del_df
 
-    cols = df.columns
+    cols = [f["name"] for f in cur_schema["fields"]]
     # per-file data sequence numbers, joined in via a tiny broadcast
     # map (one row per data FILE, not per data row)
     seq_df = spark.createDataFrame(
         [(f.path if f.path.startswith("/") else "/" + f.path,
           f.sequence_number) for f in plan.data],
         "__sg_path string, __sg_seq bigint")
-    df = (df
-          .withColumn("__sg_path",
-                      _norm_path(F.col("_metadata.file_path")))
-          .withColumn("__sg_pos", F.col("_metadata.row_index"))
-          .join(F.broadcast(seq_df), "__sg_path", "left"))
+    df = df.join(F.broadcast(seq_df), "__sg_path", "left")
 
     pos_dels = [d for d in plan.deletes if d.content == 1]
     if pos_dels:
@@ -494,10 +608,7 @@ def read_iceberg(spark, table_path: str,
 
     eq_dels = [d for d in plan.deletes if d.content == 2]
     if eq_dels:
-        meta = load_table_metadata(table_path)
-        sch = next(s for s in meta["schemas"]
-                   if s["schema-id"] == meta["current-schema-id"])
-        by_id = {f["id"]: f["name"] for f in sch["fields"]}
+        by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
         groups: dict[tuple, list[DeleteFile]] = {}
         for d in eq_dels:
             if not d.equality_ids:
@@ -509,9 +620,15 @@ def read_iceberg(spark, table_path: str,
         for names, dels in groups.items():
             del_df = None
             for d in dels:
+                # the delete FILE's physical column names follow the
+                # schema at ITS write time; alias them to the current
+                # names by field id (same rename resolution as data)
+                old = {f["id"]: f["name"] for f in _schema_by_id(
+                    meta, d.schema_id)["fields"]}
                 part = (spark.read.parquet(d.path)
-                        .select(*[F.col(c).alias(f"__del_{c}")
-                                  for c in names])
+                        .select(*[F.col(old[i])
+                                  .alias(f"__del_{by_id[i]}")
+                                  for i in d.equality_ids])
                         .withColumn("__del_seq",
                                     F.lit(d.sequence_number)
                                     .cast("bigint")))
@@ -624,9 +741,12 @@ def append_snapshot(table_path: str, rows: list[dict],
                       if (m := re.match(r"v(\d+)\.metadata\.json$", f)))
         snap_id = max((s["snapshot-id"] for s in prev["snapshots"]),
                       default=0) + 1
-        if [ (f["name"], f["type"]) for f in prev["schemas"][0]["fields"]
-             ] != list(schema):
-            raise ValueError("append_snapshot does not evolve schemas")
+        if [(f["name"], f["type"])
+                for f in _current_schema(prev)["fields"]] != list(schema):
+            raise ValueError(
+                "append_snapshot writes the CURRENT schema only "
+                "(rename_column evolves it; other evolutions "
+                "unsupported)")
         spec0 = next(s for s in prev["partition-specs"]
                      if s["spec-id"] == 0)
         if [f["name"] for f in spec0["fields"]] != \
@@ -637,7 +757,14 @@ def append_snapshot(table_path: str, rows: list[dict],
         prev, version, snap_id = None, 0, 1
     seq = snap_id
 
-    field_ids = {name: i + 1 for i, (name, _) in enumerate(schema)}
+    # field ids come from the live schema (stable across renames);
+    # only a brand-new table assigns fresh positional ids
+    field_ids = ({f["name"]: f["id"]
+                  for f in _current_schema(prev)["fields"]}
+                 if prev is not None
+                 else {name: i + 1 for i, (name, _) in enumerate(schema)})
+    cur_schema_id = (prev["current-schema-id"] if prev is not None
+                     else 0)
     types = dict(schema)
     part_fields_meta = []
     if partition_by:
@@ -708,7 +835,8 @@ def append_snapshot(table_path: str, rows: list[dict],
     snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
                 "timestamp-ms": _FIXED_TS_MS + snap_id,
                 "manifest-list": "file://" + mlist_path,
-                "summary": {"operation": "append"}, "schema-id": 0}
+                "summary": {"operation": "append"},
+                "schema-id": cur_schema_id}
     if prev is not None and prev.get("current-snapshot-id", -1) != -1:
         snapshot["parent-snapshot-id"] = prev["current-snapshot-id"]
     meta = {
@@ -718,11 +846,16 @@ def append_snapshot(table_path: str, rows: list[dict],
         "location": "file://" + table_path,
         "last-sequence-number": seq,
         "last-updated-ms": _FIXED_TS_MS + snap_id,
-        "last-column-id": len(schema),
-        "current-schema-id": 0,
-        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
-            {"id": field_ids[n], "name": n, "required": False,
-             "type": t} for n, t in schema]}],
+        "last-column-id": (prev["last-column-id"] if prev is not None
+                           else len(schema)),
+        "current-schema-id": cur_schema_id,
+        # schema HISTORY carries forward — files written before a
+        # rename resolve their old physical names by field id
+        "schemas": (prev["schemas"] if prev is not None
+                    else [{"type": "struct", "schema-id": 0, "fields": [
+                        {"id": field_ids[n], "name": n,
+                         "required": False, "type": t}
+                        for n, t in schema]}]),
         "default-spec-id": 0,
         # carry prior specs forward — delete snapshots may have added
         # an unpartitioned spec that carried manifests still reference
@@ -827,7 +960,8 @@ def _commit_delete_snapshot(table_path: str, del_file_rel: str,
         "snapshot-id": snap_id, "sequence-number": seq,
         "timestamp-ms": _FIXED_TS_MS + snap_id,
         "manifest-list": "file://" + mlist_path,
-        "summary": {"operation": "delete"}, "schema-id": 0,
+        "summary": {"operation": "delete"},
+        "schema-id": prev["current-schema-id"],
         "parent-snapshot-id": prev["current-snapshot-id"]}]
     with open(os.path.join(mdir, f"v{version + 1}.metadata.json"),
               "w") as fh:

@@ -315,3 +315,39 @@ def test_uncommitted_delta_dir_is_not_double_counted(spark, tmp_path):
     r = _run(spark, tp, ckpt)
     assert r["delta"]["rows"] == 20
     assert r["cumulative"]["rows"] == 40  # not 50: orphan not counted
+
+
+# ----------------------------------------------- metadata property law
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=7),
+                min_size=1, max_size=6),
+       st.data())
+def test_incremental_windows_partition_the_full_scan(tmp_path_factory,
+                                                     sizes, data):
+    """The incremental-scan law: for ANY append-only history and ANY
+    window split point, the files of plan_scan(to) are exactly the
+    disjoint union of plan_scan(from)'s and plan_incremental(from,to)'s
+    — no file double-planned, none lost."""
+    from schema_guru_spark.sources.iceberg_meta import plan_scan
+    tp = str(tmp_path_factory.mktemp("prop") / "repos")
+    snaps = []
+    start = 0
+    for k, n in enumerate(sizes):
+        rows = _vrows(n, f"c{k}", start=start,
+                      langs=("json", "py", "go"))
+        start += n
+        snaps.append(append_snapshot(tp, rows, SCHEMA,
+                                     partition_by="lang"))
+    i = data.draw(st.integers(min_value=0, max_value=len(snaps) - 1))
+    frm, to = snaps[i], snaps[-1]
+    base = {f.path for f in plan_scan(tp, frm).data}
+    delta = {f.path for f in plan_incremental(tp, frm, to).data}
+    full = {f.path for f in plan_scan(tp, to).data}
+    assert base | delta == full
+    assert not (base & delta)
+    assert sum(f.record_count for f in plan_incremental(tp, frm, to).data) \
+        == sum(sizes[i + 1:])
