@@ -298,7 +298,10 @@ def cumulative_report(spark: SparkSession, checkpoint_dir: str,
         "json_err": total["n_json_err"], "sha_bad": total["n_sha_bad"],
         "lang_bad": total["n_lang_bad"],
         "buckets": len(per_bucket), "buckets_passed": passed,
-        "pass_rate": round(passed / max(len(per_bucket), 1), 4),
+        # zero observed buckets = vacuously passing (an empty or fully
+        # filtered table has no failing partition)
+        "pass_rate": (round(passed / len(per_bucket), 4)
+                      if per_bucket else 1.0),
         "uniqueness": uniq,
         "schema": global_schema,
         "bucket_schemas": {

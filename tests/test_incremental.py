@@ -351,3 +351,18 @@ def test_incremental_windows_partition_the_full_scan(tmp_path_factory,
     assert not (base & delta)
     assert sum(f.record_count for f in plan_incremental(tp, frm, to).data) \
         == sum(sizes[i + 1:])
+
+
+def test_zero_row_delta_is_vacuously_passing(spark, tmp_path):
+    """A delta whose partition filter removes every file must not
+    crash the sketch union or report a failing pass_rate."""
+    from schema_guru_spark.plans.incremental import incremental_validate
+    tp = str(tmp_path / "repos")
+    append_snapshot(tp, _vrows(5, "c1"), SCHEMA, partition_by="lang")
+    rep = incremental_validate(
+        spark, tp, str(tmp_path / "ckpt"), n_buckets=4,
+        allowed_langs=("json",), partition_filter={"lang": "rust"})
+    cum = rep["cumulative"]
+    assert cum["rows"] == 0
+    assert cum["pass_rate"] == 1.0
+    assert cum["uniqueness"]["uniq_ok"]
