@@ -396,17 +396,33 @@ def read_iceberg_incremental(spark, table_path: str,
     """DataFrame of exactly the rows appended in ``(from, to]`` —
     a parquet scan over the incrementally planned file list (no
     delete application needed: the window is append-only by
-    construction, see ``plan_incremental``)."""
+    construction, see ``plan_incremental``).
+
+    Files are grouped by the schema they were written under and
+    projected to the CURRENT schema by field id, exactly like
+    ``read_iceberg`` — an incremental window that spans a column
+    rename would otherwise read the post-rename files' renamed
+    column as null (plain multi-path parquet reads unify schemas
+    by NAME, silently dropping the renamed physical column)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+
     plan = plan_incremental(table_path, from_snapshot_id,
                             to_snapshot_id, partition_filter)
+    meta = load_table_metadata(table_path)
+    cur_schema = _current_schema(meta)
     if not plan.data:
-        meta = load_table_metadata(table_path)
-        sch = next(s for s in meta["schemas"]
-                   if s["schema-id"] == meta["current-schema-id"])
         ddl = ", ".join(f"`{f['name']}` {_ICE_TO_SPARK[f['type']]}"
-                        for f in sch["fields"])
+                        for f in cur_schema["fields"])
         return spark.createDataFrame([], ddl)
-    return spark.read.parquet(*[f.path for f in plan.data])
+    by_schema: dict[int, list[str]] = {}
+    for f in plan.data:
+        by_schema.setdefault(f.schema_id, []).append(f.path)
+    parts = [_project_to_schema(spark.read.parquet(*paths), meta,
+                                sid, cur_schema)
+             for sid, paths in sorted(by_schema.items())]
+    return reduce(_DF.unionByName, parts)
 
 
 def data_files(table_path: str, snapshot_id: Optional[int] = None,

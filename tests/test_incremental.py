@@ -366,3 +366,26 @@ def test_zero_row_delta_is_vacuously_passing(spark, tmp_path):
     assert cum["rows"] == 0
     assert cum["pass_rate"] == 1.0
     assert cum["uniqueness"]["uniq_ok"]
+
+
+def test_incremental_read_resolves_rename_by_field_id(spark, tmp_path):
+    """An incremental window spanning a column rename must project
+    every file to the CURRENT schema by field id. A plain multi-path
+    parquet read unifies schemas by NAME, which read the post-rename
+    files' renamed column as null (silent data loss) before the fix."""
+    from schema_guru_spark.sources.iceberg_meta import rename_column
+    tp = str(tmp_path / "repos")
+    s1 = append_snapshot(tp, _vrows(3, "c1"), SCHEMA)
+    append_snapshot(tp, _vrows(3, "c2", start=3), SCHEMA)
+    rename_column(tp, "content", "body")
+    schema2 = [("body" if n == "content" else n, t) for n, t in SCHEMA]
+    rows3 = [{("body" if k == "content" else k): v for k, v in r.items()}
+             for r in _vrows(3, "c3", start=6)]
+    s3 = append_snapshot(tp, rows3, schema2)
+    df = read_iceberg_incremental(spark, tp, from_snapshot_id=s1,
+                                  to_snapshot_id=s3)
+    assert df.columns == [n for n, _ in schema2]
+    got = {(r["commit"], r["body"]) for r in df.collect()}
+    assert len(got) == 6 and all(b is not None for _, b in got)
+    # pre-rename file (c2) and post-rename file (c3) both carry data
+    assert {c for c, _ in got} == {"c2", "c3"}
