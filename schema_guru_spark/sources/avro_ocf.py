@@ -94,7 +94,13 @@ def _parse_schema(schema: Any, named: dict[str, Any]) -> Any:
 
 def _decode(r: _Reader, schema: Any) -> Any:
     if isinstance(schema, list):  # union
-        return _decode(r, schema[r.read_long()])
+        i = r.read_long()
+        if not 0 <= i < len(schema):
+            # a negative index would silently wrap via Python list
+            # indexing and mis-decode instead of failing loudly
+            raise ValueError(f"union branch {i} out of range "
+                             f"(union has {len(schema)} branches)")
+        return _decode(r, schema[i])
     if isinstance(schema, dict):
         typ = schema["type"]
         if typ in ("record", "error"):
@@ -138,7 +144,10 @@ def _decode(r: _Reader, schema: Any) -> Any:
         if typ == "fixed":
             return r.read(schema["size"])
         if typ == "enum":
-            return schema["symbols"][r.read_long()]
+            i = r.read_long()
+            if not 0 <= i < len(schema["symbols"]):
+                raise ValueError(f"enum index {i} out of range")
+            return schema["symbols"][i]
         typ_name = typ  # {"type": "string", ...} wrapper
     else:
         typ_name = schema

@@ -143,3 +143,19 @@ def test_truncated_varint_is_eoferror(tmp_path):
         assert False, "expected EOFError"
     except EOFError:
         pass
+
+
+def test_negative_union_and_enum_index_fail_loudly(tmp_path):
+    """A corrupted union/enum index that decodes negative must raise
+    ValueError, not silently wrap via Python negative list indexing
+    and mis-decode the rest of the stream."""
+    import pytest
+    from schema_guru_spark.sources.avro_ocf import _Reader, _decode
+
+    # zigzag(-1) = 0x01; union ["null","long"] with branch index -1
+    r = _Reader(b"\x01\x04")
+    with pytest.raises(ValueError, match="union branch -1"):
+        _decode(r, ["null", "long"])
+    r = _Reader(b"\x01")
+    with pytest.raises(ValueError, match="enum index -1"):
+        _decode(r, {"type": "enum", "name": "e", "symbols": ["A", "B"]})
