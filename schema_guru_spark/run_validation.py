@@ -189,11 +189,15 @@ def main(argv=None) -> dict:
         t_validate = time.perf_counter() - t0
         rep = f_rep.result()
     dt = time.perf_counter() - t0
+    # an EMPTY table aggregates to NULL counters and zero buckets:
+    # report zeros and a vacuous pass (same rule as the incremental
+    # path's cumulative view), not a TypeError
     out = {
-        "rows": agg["rows"], "json_ok": agg["json_ok"],
-        "json_err": agg["json_err"], "sha_bad": agg["sha_bad"],
-        "buckets": agg["buckets"], "buckets_passed": agg["passed"],
-        "pass_rate": round(agg["passed"] / max(agg["buckets"], 1), 4),
+        "rows": agg["rows"] or 0, "json_ok": agg["json_ok"] or 0,
+        "json_err": agg["json_err"] or 0, "sha_bad": agg["sha_bad"] or 0,
+        "buckets": agg["buckets"], "buckets_passed": agg["passed"] or 0,
+        "pass_rate": (round((agg["passed"] or 0) / agg["buckets"], 4)
+                      if agg["buckets"] else 1.0),
         "n_violation_rows": n_violations,
         "resumed_buckets": len(res.resumed_buckets),
         "wall_sec": round(dt, 3),

@@ -534,3 +534,20 @@ def test_null_fields_are_violations_not_crashes(spark):
     details = [r["detail"] for r in res.violations.collect()]
     assert details.count("lang not allowed") == 1
     assert details.count("sha256 mismatch") >= 2
+
+
+def test_run_validation_empty_table_vacuous_pass(spark, tmp_path):
+    """An EMPTY input table reports zero counters and a vacuously
+    passing rate 1.0 (same rule as the incremental cumulative view),
+    instead of a TypeError on the NULL aggregate row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from schema_guru_spark.run_validation import main as run_main
+    sch = pa.schema([(n, pa.string()) for n in (
+        "repo", "path", "commit", "lang", "content", "content_sha")])
+    pq.write_table(pa.Table.from_pylist([], schema=sch),
+                   str(tmp_path / "empty.parquet"))
+    out = run_main(["--input", str(tmp_path), "--cpus", "4"])
+    assert out["rows"] == 0 and out["buckets"] == 0
+    assert out["pass_rate"] == 1.0
+    assert out["constraints"]["keys_unique"]
