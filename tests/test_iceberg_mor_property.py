@@ -117,3 +117,20 @@ def test_position_delete_applies_to_same_sequence(spark, tmp_path):
                           (_data_file(tp, sid), 3)])
     got = sorted(r["k"] for r in read_iceberg(spark, tp).collect())
     assert got == [0, 2]
+
+
+def test_equality_delete_key_survives_later_rename(spark, tmp_path):
+    """An equality-delete file written BEFORE the keyed column was
+    renamed must still apply: its physical column name resolves by
+    field id against the schema at ITS write time, the data side by
+    the current schema."""
+    tp = str(tmp_path / "t")
+    append_snapshot(tp, [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}], SCHEMA)
+    delete_where_equal(tp, [{"k": 1}])
+    rename_column(tp, "k", "kk")
+    append_snapshot(tp, [{"kk": 1, "v": "c"}],
+                    [("kk", "long"), ("v", "string")])
+    got = sorted((r["kk"], r["v"])
+                 for r in read_iceberg(spark, tp).collect())
+    # pre-rename k=1 deleted; post-rename kk=1 re-insert survives
+    assert got == [(1, "c"), (2, "b")]
