@@ -108,12 +108,13 @@ def q_segment_props(spark, sf):
 def q_latest_event_per_user(spark, sf):
     out = S.group_with_latest(_t(spark, sf, "events"), ["user_id"],
                               ["ts", "event_id"])
-    # ts is TIMESTAMP_NTZ; the NTZ -> timestamp -> epoch cast reads the
-    # SESSION timezone, so pin UTC here rather than assume the harness
-    # did — DuckDB's epoch(naive ts) is UTC-naive
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ts is TIMESTAMP_NTZ; DuckDB's epoch(naive ts) is UTC-naive. NTZ
+    # interval arithmetic gives the same number WITHOUT reading (or
+    # mutating) the session timezone, so the query fn stays pure.
+    epoch = F.expr(
+        "CAST(ts - TIMESTAMP_NTZ '1970-01-01 00:00:00' AS BIGINT)")
     return out.select("user_id", "event_id", "event_type",
-                      F.col("ts").cast("timestamp").cast("long").alias("ts_epoch")) \
+                      epoch.alias("ts_epoch")) \
               .orderBy("user_id")
 
 
@@ -1169,8 +1170,12 @@ def oracle_sql() -> dict[str, str]:
               -- exact integer sum of the 1e-6-quantized quality, then
               -- one double division: bit-stable at any partitioning
               -- (mirrors source_mix_report's _q6 aggregation)
-              SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars,
-                     sum(n_tokens) AS n_tokens,
+              -- ::BIGINT on the sums: DuckDB sum(BIGINT) is HUGEINT,
+              -- which pandas materializes as float64 (73327.0) while
+              -- Spark sum(long) is int64 — the driver hashes dtypes too
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(n_chars)::BIGINT AS n_chars,
+                     sum(n_tokens)::BIGINT AS n_tokens,
                      round(sum(round(quality * 1e6)::BIGINT)
                            / (count(*) * 1e6), 6) AS mean_quality
               FROM perdoc GROUP BY source)

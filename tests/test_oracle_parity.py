@@ -113,6 +113,29 @@ def test_parity_invariant_to_shuffle_partitioning(name, spark, ddb):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_dtype_parity(name, spark, ddb):
+    """r04 verdict #1: source_mix_docs was hash-red for TWO rounds on a
+    pure dtype artifact — DuckDB sum(BIGINT) returns HUGEINT, pandas
+    materializes it float64 (73327.0) while Spark returns int64 (73327).
+    _canon() formats both as '73327' so the value sweep above could never
+    see it. The driver's hasher DOES see representation, so pin pandas
+    dtype *kind* agreement between Spark `.toPandas()` and DuckDB `.df()`
+    for every oracle query: an oracle-side representation artifact now
+    fails locally instead of burning a round."""
+    s_pd = QUERIES[name](spark, SF).toPandas()
+    d_pd = ddb.sql(ORACLES[name]).df()
+    assert sorted(s_pd.columns) == sorted(d_pd.columns), name
+    for col in s_pd.columns:
+        sk, dk = s_pd[col].dtype.kind, d_pd[col].dtype.kind
+        # datetimes may arrive ns vs us resolution; kind 'M' is enough.
+        assert sk == dk, (
+            f"{name}.{col}: Spark pandas dtype {s_pd[col].dtype} (kind "
+            f"{sk}) vs DuckDB {d_pd[col].dtype} (kind {dk}) — add an "
+            "explicit cast to the oracle SQL (::BIGINT/::INT/::DOUBLE) "
+            "or align the Spark column type")
+
+
 def test_documents_fixture_sits_outside_banding_gap(ddb):
     """ADVICE r02: minhash_pairs_docs compares an LSH-pruned Spark result
     to an exact all-pairs oracle — equality is only guaranteed because no
