@@ -35,6 +35,17 @@ scalars = st.one_of(
     st.text(max_size=30),
     st.uuids().map(str),
     st.datetimes().map(lambda d: d.isoformat()),
+    # format-heavy strings + near-misses (trailing newline, bad octet)
+    # so the batch path's per-format verifiers (_fmt_survives) meet
+    # both survivors and tombstoners
+    st.ip_addresses(v=4).map(str),
+    st.ip_addresses(v=6).map(str),
+    st.sampled_from([
+        "http://example.com/a", "https://x.io", "ftp://h.org/f",
+        "1.2.3.4\n", "256.1.1.1", "not-a-url://x",
+        "123e4567-e89b-12d3-a456-426614174000\n",
+        "2024-13-40T99:99:99", "2024-01-02T03:04:05Z",
+    ]),
 )
 json_values = st.recursive(
     scalars,
@@ -241,3 +252,39 @@ def test_fold_docs_batch_split_invariance(docs, cut):
     fold_docs(split, list(docs[:k]), CTX)
     fold_docs(split, list(docs[k:]), CTX)
     assert dumps(one) == dumps(split)
+
+
+# format-shaped strings + adversarial near-misses for the verifier law
+_fmt_strings = st.one_of(
+    st.uuids().map(str),
+    st.datetimes().map(lambda d: d.isoformat()),
+    st.ip_addresses(v=4).map(str),
+    st.ip_addresses(v=6).map(str),
+    st.text(max_size=40),
+    st.sampled_from([
+        "http://example.com/a?q=1#f", "https://localhost:8080/x",
+        "ftp://1.2.3.4/f", "http://no-tld", "https://x.io\n",
+        "1.2.3.4\n", "255.255.255.255\n", "256.1.1.1", "01.2.3.4",
+        "123e4567-e89b-12d3-a456-426614174000",
+        "123e4567-e89b-12d3-a456-426614174000\n",
+        "123E4567-E89B-12D3-A456-426614174000",
+        "2024-01-02T03:04:05Z", "2024-01-02 03:04:05",
+        "2024-13-40T99:99:99", "2024-01-02", "::1", "fe80::1%eth0",
+        "1:2:3:4:5:6:7:8", "::ffff:1.2.3.4", "a:b::c/64",
+    ]),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sampled_from(["uuid", "date-time", "ipv4", "ipv6", "uri"]),
+       st.lists(_fmt_strings, min_size=1, max_size=6))
+def test_fmt_survives_equals_chain(fmt, vals):
+    """_fmt_survives(fmt, vals) must equal re-running the full scalar
+    priority chain per value — including the scalar detectors'
+    trailing-newline quirks ($-anchored .match behind length
+    prefilters). Any divergence breaks the fold==accumulate law on
+    format-stable columns."""
+    from schema_guru_spark.core.accumulate_batch import _fmt_survives
+    from schema_guru_spark.core.formats import suggest_format
+    want = all(suggest_format(v) == fmt for v in vals)
+    assert _fmt_survives(fmt, vals) is want, (fmt, vals)
