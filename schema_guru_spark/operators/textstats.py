@@ -31,7 +31,8 @@ def _words(col: Column) -> Column:
     return F.array_remove(F.split(F.lower(F.trim(col)), r"\s+"), "")
 
 
-def _presorted(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _presorted(df: DataFrame, id_col: str, text_col: str,
+               sort: bool = True) -> DataFrame:
     """Globally sort the NARROW (id, text) rows BEFORE a per-row signal
     projection. The per-row operators here return sorted-by-id output
     from an otherwise shuffle-less plan; range partitioning samples its
@@ -40,15 +41,27 @@ def _presorted(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     per-row computation a second time — measured 2.4x on
     repetition_signals at sf0.1. Sorting the cheap narrow projection
     first runs the signals exactly once: projections preserve both
-    intra-partition order and the range-partitioned partition order."""
-    return df.select(F.col(id_col).alias("id"),
-                     F.col(text_col).alias("_t")).orderBy("id")
+    intra-partition order and the range-partitioned partition order.
+
+    100 TB story (ADVICE r04): this sort IS a full-corpus exchange —
+    (id, text) including the payload moves over the network. On a real
+    cluster where the double-compute would have been CPU-only, the
+    right call depends on signal cost vs corpus bytes, so every per-row
+    operator exposes ``sorted_output``: pass False to drop the ordering
+    contract AND the exchange entirely (output order then follows scan
+    order). The sf-scale benchmarks and the oracle parity contract keep
+    the sorted default; a large-scale curation pipeline that feeds the
+    output into its own joins/aggregations should pass False."""
+    src = df.select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("_t"))
+    return src.orderBy("id") if sort else src
 
 
-def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def token_stats(df: DataFrame, text_col: str, id_col: str,
+                sorted_output: bool = True) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens + chars.
     regexp_count keeps it codegen'd."""
-    src = _presorted(df, id_col, text_col)
+    src = _presorted(df, id_col, text_col, sorted_output)
     c = F.col("_t")
     return src.select(
         "id",
@@ -59,7 +72,8 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def quality_scores(df: DataFrame, text_col: str, id_col: str,
-                   lang: str = "en") -> DataFrame:
+                   lang: str = "en",
+                   sorted_output: bool = True) -> DataFrame:
     """Heuristic quality scoring: length, punctuation ratio, stopword
     ratio, mean word length, and a composite [0,1] score. The formula is
     fixed (documented here) so downstream filters are reproducible:
@@ -67,7 +81,7 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str,
         score = 0.25*len_ok + 0.25*(1 - punct_ratio_capped)
               + 0.25*stop_ok + 0.25*word_len_ok
     """
-    src = _presorted(df, id_col, text_col)
+    src = _presorted(df, id_col, text_col, sorted_output)
     q = _quality_cols(F.col("_t"), lang)
     return src.select(
         "id",
@@ -107,11 +121,12 @@ def _quality_cols(c: Column, lang: str = "en") -> dict:
             "mean_word_len": mean_word_len, "quality": score}
 
 
-def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def lang_id(df: DataFrame, text_col: str, id_col: str,
+            sorted_output: bool = True) -> DataFrame:
     """Stopword-hit language ID: count DISTINCT stopword hits per
     language (array_intersect — codegen), argmax with deterministic
     alphabetical tiebreak; 'und' (undetermined) when no hits."""
-    src = _presorted(df, id_col, text_col)
+    src = _presorted(df, id_col, text_col, sorted_output)
     words = _words(F.col("_t"))
     hits = [
         F.size(F.array_intersect(
@@ -144,7 +159,8 @@ def _lang_pred_expr(c: Column) -> Column:
 
 
 def fingerprints(df: DataFrame, text_col: str, id_col: str,
-                 ngram: int = 8, window: int = 4) -> DataFrame:
+                 ngram: int = 8, window: int = 4,
+                 sorted_output: bool = True) -> DataFrame:
     """Document fingerprinting (winnowing — Schleimer et al., SIGMOD'03):
       content_md5 — digest of whitespace-normalized lowercase text
       winnow_min  — global minimum k-gram hash (1-hash sketch)
@@ -157,7 +173,7 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
     60-bit) so the DuckDB oracle reproduces it exactly. All JVM array
     expressions — one pass, no shuffle, no Python.
     """
-    src = _presorted(df, id_col, text_col)
+    src = _presorted(df, id_col, text_col, sorted_output)
     norm = F.regexp_replace(F.lower(F.trim(F.col("_t"))), r"\s+", " ")
     # bind norm: an unbound reference re-runs the regexp_replace once
     # per k-gram inside the interpreted transform (see _bind)
@@ -194,7 +210,8 @@ PII_IPV4_RE = (r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
                r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}")
 
 
-def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def pii_scan(df: DataFrame, text_col: str, id_col: str,
+             sorted_output: bool = True) -> DataFrame:
     """Per-document PII indicator counts (emails, phone-shaped numbers,
     SSN-shaped ids, embedded ipv4) — the redaction-triage pass a
     training-data pipeline runs before release. Pure JVM regexp_count
@@ -202,7 +219,7 @@ def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     column so downstream policy (drop / redact / flag) filters push
     down to the scan. Output is id-sorted (narrow pre-sort, see
     ``_presorted`` — a trailing orderBy would run the regexes twice)."""
-    src = _presorted(df, id_col, text_col)
+    src = _presorted(df, id_col, text_col, sorted_output)
     c = F.col("_t")
     out = src.select(
         "id",
@@ -261,7 +278,8 @@ def _top_run_count(g: Column) -> Column:
 
 
 def repetition_signals(df: DataFrame, text_col: str,
-                       id_col: str) -> DataFrame:
+                       id_col: str,
+                       sorted_output: bool = True) -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al. 2021,
     Table A1) over word n-grams:
 
@@ -283,7 +301,7 @@ def repetition_signals(df: DataFrame, text_col: str,
     struct is projected in a separate step so field extraction doesn't
     re-run the whole computation.
     """
-    src = _presorted(df, id_col, text_col)
+    src = _presorted(df, id_col, text_col, sorted_output)
     sig = _repetition_struct(F.col("_t"))
     return (src.select("id", sig.alias("_s"))
             .select("id", "_s.n_words", "_s.n_2grams", "_s.dup_2gram_frac",

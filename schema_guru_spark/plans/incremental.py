@@ -8,7 +8,13 @@ never re-list or re-scan the petabytes already validated.
 
 Design (all state lives under one checkpoint directory):
 
-  table_state.json           {table_uuid, snapshot_id, epoch}
+  table_state.json           {table_uuid, snapshot_id, epoch,
+                              windows, params} — params pins the
+                              run's n_buckets/n_salts/max_err_rate/
+                              allowed_langs/partition_filter; later
+                              runs must match or the per-bucket
+                              counter sums would silently mix
+                              incompatible bucket memberships
   e000-snap-0-S1/            baseline delta: full validation @ S1
   e000-snap-S1-S2/           appended rows in (S1, S2]
   ...                        one sub-checkpoint per validated delta
@@ -93,11 +99,42 @@ def _key_hash() -> "F.Column":
     return F.xxhash64(F.lit(0x1CEB), "repo", "path", "commit")
 
 
-def _write_uniq_sketch(delta_dir: str, df: DataFrame) -> None:
-    (df.agg(F.count(F.lit(1)).alias("n_rows"),
-            F.hll_sketch_agg(_key_hash()).alias("sketch"))
+def _write_uniq_sketch(delta_dir: str, df: DataFrame,
+                       n_rows: int) -> None:
+    """Second pass over the delta for the mergeable key sketch — but a
+    NARROW one: only the three key columns are selected, so the
+    column-pruned parquet scan never touches ``content`` (the corpus
+    payload, ~95% of the bytes). The row count is NOT recounted — the
+    validation scan already summed it exactly; it rides along as a
+    literal. (Folding the sketch into the validation scan itself would
+    widen its Arrow projection with path+commit for every row, or
+    require a Python-side HLL mergeable with Spark's hll_union_agg,
+    which does not exist — the key-only second scan is the cheaper
+    shape at scale.)"""
+    (df.select(_key_hash().alias("h"))
+       .agg(F.lit(n_rows).cast("long").alias("n_rows"),
+            F.hll_sketch_agg("h").alias("sketch"))
        .coalesce(1)
        .write.mode("overwrite").parquet(os.path.join(delta_dir, "uniq")))
+
+
+def _run_params(n_buckets: int, n_salts: int, max_err_rate: float,
+                allowed_langs: Sequence[str],
+                partition_filter: Optional[dict]) -> dict:
+    """The parameters that define what the per-bucket counters MEAN.
+    Deltas validated under different values are not summable: a changed
+    n_buckets/n_salts redraws bucket membership (same bucket id,
+    different rows), a changed partition_filter redefines which rows
+    'whole table' covers, allowed_langs changes what counts as a
+    violation, max_err_rate changes each delta's recorded verdicts. All
+    are pinned in table_state.json on the first commit; later runs must
+    match (ADVICE r04)."""
+    return {
+        "n_buckets": n_buckets, "n_salts": n_salts,
+        "max_err_rate": max_err_rate,
+        "allowed_langs": sorted(allowed_langs),
+        "partition_filter": partition_filter,
+    }
 
 
 def incremental_validate(
@@ -142,6 +179,20 @@ def incremental_validate(
             f"checkpoint {checkpoint_dir} belongs to table "
             f"{state['table_uuid']}, not {uuid} — the cumulative "
             "accounting would silently mix two tables")
+    params = _run_params(n_buckets, n_salts, max_err_rate,
+                         allowed_langs, partition_filter)
+    if state is not None:
+        prior_params = state.get("params")
+        if prior_params is not None and prior_params != params:
+            diff = {k for k in params
+                    if prior_params.get(k) != params[k]}
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} was built with different "
+                f"validation parameters ({', '.join(sorted(diff))}): "
+                f"{prior_params} vs {params} — per-bucket counters from "
+                "deltas validated under different parameters are not "
+                "summable (same guard class as table_uuid). Use a new "
+                "checkpoint dir, or rerun with the pinned values.")
 
     epoch = state["epoch"] if state else 0
     frm = state["snapshot_id"] if state else None
@@ -188,7 +239,7 @@ def incremental_validate(
             F.sum(F.when(F.col("passed"), 1).otherwise(0))
              .alias("passed"),
             F.count(F.lit(1)).alias("buckets")).collect()[0]
-        _write_uniq_sketch(delta_dir, delta_df)
+        _write_uniq_sketch(delta_dir, delta_df, int(agg["rows"] or 0))
         delta_report = {
             "rows": agg["rows"] or 0,
             "json_ok": agg["json_ok"] or 0,
@@ -203,7 +254,7 @@ def incremental_validate(
                  and mode == "incremental" else [])
         _save_state(checkpoint_dir, {
             "table_uuid": uuid, "snapshot_id": cur, "epoch": epoch,
-            "windows": prior + [label],
+            "windows": prior + [label], "params": params,
             "updated_at": time.time()})
 
     report = {

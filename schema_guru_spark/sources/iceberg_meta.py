@@ -228,8 +228,30 @@ def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
             added_by = e.get("snapshot_id")
             if added_by is None:
                 added_by = mf.get("added_snapshot_id")
-            file_schema = snap_schema.get(added_by,
-                                          meta["current-schema-id"])
+            if added_by in snap_schema:
+                file_schema = snap_schema[added_by]
+            elif len(meta.get("schemas", [])) <= 1:
+                # adding snapshot expired, but the table has only ever
+                # had one schema — the default is provably right
+                file_schema = meta["current-schema-id"]
+            else:
+                # The adding snapshot has been expired out of
+                # meta['snapshots'] AND the table has evolved schemas.
+                # Defaulting to the CURRENT schema would silently
+                # mis-project files that predate a rename (post-rename
+                # names selected from pre-rename parquet:
+                # AnalysisException at best, silent nulls mixed with
+                # newer files at worst) — fail loud, like
+                # _ancestors_between does for expired parents.
+                raise LookupError(
+                    f"{table_path}: data file {df['file_path']!r} was "
+                    f"added by snapshot {added_by}, which is no longer "
+                    "in the table metadata's snapshot list (expired "
+                    "history), and the table has multiple schemas — "
+                    "its write-time schema id cannot be resolved for "
+                    "field-id projection. Compact/rewrite the table, "
+                    "or read it with a runtime that records per-file "
+                    "schema ids.")
             if mf.get("content", 0) == 0:
                 if content != 0:
                     raise ValueError(
@@ -341,7 +363,6 @@ def plan_incremental(table_path: str, from_snapshot_id: int,
     if from_snapshot_id == to_snapshot_id:
         return ScanPlan([], [])
     window = _ancestors_between(meta, from_snapshot_id, to_snapshot_id)
-    window_ids = {s["snapshot-id"] for s in window}
     data: list[DataFile] = []
     for snap in window:
         op = (snap.get("summary") or {}).get("operation", "append")
@@ -365,11 +386,12 @@ def plan_incremental(table_path: str, from_snapshot_id: int,
             for e in entries:
                 if e["status"] != 1:  # only ADDED entries
                     continue
+                # entry snapshot_id, when present, must be this
+                # snapshot; when inherited (null) it IS this snapshot:
+                # manifests added by other commits were skipped above,
+                # and this snapshot is in the window by construction
                 if e.get("snapshot_id") not in (None,
                                                 snap["snapshot-id"]):
-                    continue
-                if e.get("snapshot_id") is None and \
-                        mf["added_snapshot_id"] not in window_ids:
                     continue
                 df = e["data_file"]
                 seq = e.get("sequence_number")

@@ -389,3 +389,28 @@ def test_incremental_read_resolves_rename_by_field_id(spark, tmp_path):
     assert len(got) == 6 and all(b is not None for _, b in got)
     # pre-rename file (c2) and post-rename file (c3) both carry data
     assert {c for c, _ in got} == {"c2", "c3"}
+
+
+def test_incremental_rejects_changed_parameters(spark, tmp_path):
+    """ADVICE r04 (medium): table_state.json pins the validation
+    parameters (n_buckets/n_salts/max_err_rate/allowed_langs/
+    partition_filter) — a later run with different values would sum
+    per-bucket counters across deltas whose bucket ids denote different
+    row memberships, silently corrupting the cumulative view."""
+    from schema_guru_spark.plans.incremental import incremental_validate
+    tp = str(tmp_path / "repos")
+    ckpt = str(tmp_path / "ckpt")
+    append_snapshot(tp, _vrows(10, "c1"), SCHEMA, partition_by="lang")
+    _run(spark, tp, ckpt)
+    append_snapshot(tp, _vrows(10, "c2", start=10), SCHEMA,
+                    partition_by="lang")
+    with pytest.raises(ValueError, match="n_buckets"):
+        incremental_validate(spark, tp, ckpt, n_buckets=N_BUCKETS * 2,
+                             allowed_langs=("json",))
+    with pytest.raises(ValueError, match="allowed_langs"):
+        incremental_validate(spark, tp, ckpt, n_buckets=N_BUCKETS,
+                             allowed_langs=("json", "py"))
+    # matching params still work after the rejected attempts
+    r = _run(spark, tp, ckpt)
+    assert r["mode"] == "incremental"
+    assert r["cumulative"]["rows"] == 20

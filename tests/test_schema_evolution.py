@@ -133,3 +133,50 @@ def test_rename_is_metadata_only_no_snapshot(spark, tmp_path):
     rep = incremental_validate(spark, tp, ckpt, n_buckets=4,
                                allowed_langs=("py",))
     assert rep["mode"] == "up-to-date"
+
+
+def _expire_noncurrent_snapshots(table_path):
+    """Simulate snapshot expiry: drop every snapshot except the current
+    one from the metadata's snapshot list (what expire_snapshots does;
+    data files stay, their adding-snapshot ids dangle)."""
+    import glob, os
+    meta = load_table_metadata(table_path)
+    cur = meta["current-snapshot-id"]
+    meta["snapshots"] = [s for s in meta["snapshots"]
+                         if s["snapshot-id"] == cur]
+    mdir = os.path.join(table_path, "metadata")
+    latest = max(glob.glob(os.path.join(mdir, "v*.metadata.json")))
+    with open(latest, "w") as fh:
+        json.dump(meta, fh)
+
+
+def test_expired_snapshot_multi_schema_fails_loudly(spark, tmp_path):
+    """ADVICE r04: a file whose adding snapshot has been expired out of
+    the metadata CANNOT be attributed to the current schema when the
+    table has evolved — pre-rename parquet projected under post-rename
+    names gives AnalysisException or silent nulls. plan_scan must raise
+    a clear error instead."""
+    from schema_guru_spark.sources.iceberg_meta import plan_scan
+    tp = str(tmp_path / "t")
+    append_snapshot(tp, _rows(10), SCHEMA, partition_by="lang")
+    rename_column(tp, "content", "body")
+    new_schema = [("repo", "string"), ("lang", "string"),
+                  ("body", "string")]
+    append_snapshot(tp, _rows(5, start=100, content_key="body"),
+                    new_schema, partition_by="lang")
+    _expire_noncurrent_snapshots(tp)
+    with pytest.raises(LookupError, match="expired"):
+        plan_scan(tp)
+
+
+def test_expired_snapshot_single_schema_still_plans(spark, tmp_path):
+    """With only one schema ever, the current-schema default is provably
+    right — expiry must NOT break reads of never-evolved tables."""
+    from schema_guru_spark.sources.iceberg_meta import plan_scan
+    tp = str(tmp_path / "t")
+    append_snapshot(tp, _rows(10), SCHEMA, partition_by="lang")
+    append_snapshot(tp, _rows(5, start=100), SCHEMA, partition_by="lang")
+    _expire_noncurrent_snapshots(tp)
+    plan = plan_scan(tp)
+    assert len(plan.data) > 0
+    assert read_iceberg(spark, tp).count() == 15

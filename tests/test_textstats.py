@@ -239,3 +239,21 @@ def test_source_mix_report_partition_invariant(spark, sf_dir):
             docs.repartition(n_parts), "text", "source").collect()
         runs.append([tuple(r) for r in out])
     assert runs[0] == runs[1] == runs[2]
+
+
+def test_sorted_output_false_drops_the_exchange(spark):
+    """ADVICE r04: the sorted-output contract costs a full-corpus range
+    exchange (the narrow (id, text) sort). sorted_output=False must
+    remove EVERY exchange from the per-row plans — at 100 TB the caller
+    that doesn't need ordering shouldn't move the corpus over the
+    network — while returning the same rows modulo order."""
+    rows = [(i, f"doc {i} the and of to a in") for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    for op in (TS.token_stats, TS.quality_scores, TS.lang_id,
+               TS.pii_scan, TS.repetition_signals, TS.fingerprints):
+        unsorted = op(df, "text", "id", sorted_output=False)
+        plan = unsorted._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (op.__name__, plan)
+        got = sorted(map(tuple, unsorted.collect()))
+        want = sorted(map(tuple, op(df, "text", "id").collect()))
+        assert got == want, op.__name__
