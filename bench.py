@@ -103,17 +103,27 @@ def main() -> None:
         "repetition_docs", "contamination_docs", "dup_span_census_docs",
         "curation_docs", "source_mix_docs",
     ]
+    # same treatment as the headline set (r04 verdict #3: pipeline
+    # queries got 1 warm sample while headline got 3-5 with medians, so
+    # pipeline regressions were not adjudicable from the JSON alone):
+    # 3 runs — cold recorded, best-warm headline, median alongside
     pipe: dict[str, float] = {}
+    pipe_medians: dict[str, float] = {}
+    pipe_cold: dict[str, float] = {}
     for name in pipeline_names:
         if name not in queries:
             continue
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for attempt in range(3):
             t0 = time.perf_counter()
             _force(queries[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if attempt == 0:
+                pipe_cold[name] = round(dt, 3)
+            runs.append(dt)
             spark.catalog.clearCache()
-        pipe[name] = round(best, 3)
+        pipe[name] = round(min(runs), 3)
+        pipe_medians[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     infer_sec = timings.get("infer_props_schema", float("nan"))
     out = {
@@ -124,6 +134,8 @@ def main() -> None:
         "queries_median": medians,
         "queries_cold": cold,
         "pipeline_queries": pipe,
+        "pipeline_queries_median": pipe_medians,
+        "pipeline_queries_cold": pipe_cold,
         "sf": SF_DIR,
         "cpus": CPUS,
         "files_per_sec": round(n_docs / infer_sec, 1) if infer_sec else None,

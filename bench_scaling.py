@@ -110,6 +110,11 @@ def main() -> None:
         "pass_rate": legs[n4]["pass_rate"],
         "threshold": 0.8,
         "meets_threshold": eff >= 0.8,
+        # per-leg summed executor task time, split by overlapped job
+        # group (r04 verdict #7: makes an overlap-induced small-leg
+        # contention penalty visible instead of averaged into the ratio)
+        "task_time_sec": {c: legs[c].get("task_time_sec", {})
+                          for c in legs},
         "legs": legs,
     }
     print(json.dumps(report))
@@ -127,6 +132,7 @@ def main() -> None:
                 "files_per_sec_N": thr_n, "files_per_sec_4N": thr_4n,
                 "wall_sec_N": report["wall_sec_N"],
                 "wall_sec_4N": report["wall_sec_4N"],
+                "task_time_sec": report["task_time_sec"],
                 "n_files": args.files, "repeats": args.repeats,
                 # pre-run load (sampled at the idle-guard): the load the
                 # MEASUREMENT ran under — sampling here would read the
@@ -170,10 +176,16 @@ throughput — Python-worker-pool spawn and codegen JIT are one-time
 per-process costs that do not grow with data size and would otherwise
 bias the comparison toward the smaller thread pool.
 
-| leg | cores | wall sec | validated files/sec |
-|---|---|---|---|
-| N | {args.n_cores} | {legs[args.n_cores]['wall_sec']} | {thr_n:,.1f} |
-| 4N | {n4} | {legs[n4]['wall_sec']} | {thr_4n:,.1f} |
+| leg | cores | wall sec | validated files/sec | task-time: validate (s) | task-time: constraints (s) |
+|---|---|---|---|---|---|
+| N | {args.n_cores} | {legs[args.n_cores]['wall_sec']} | {thr_n:,.1f} | {legs[args.n_cores].get('task_time_sec', {}).get('timed-validate', '?')} | {legs[args.n_cores].get('task_time_sec', {}).get('timed-constraints', '?')} |
+| 4N | {n4} | {legs[n4]['wall_sec']} | {thr_4n:,.1f} | {legs[n4].get('task_time_sec', {}).get('timed-validate', '?')} | {legs[n4].get('task_time_sec', {}).get('timed-constraints', '?')} |
+
+Task-time columns are summed executor run time per overlapped job
+group (the constraint suite is submitted from a second thread into the
+derive pass's idle task slots). If the overlap ever penalizes the
+small leg disproportionately, its task-time-to-wall ratio inflates
+here instead of hiding inside the efficiency average.
 
 **Scaling efficiency = thr_4N / (4 x thr_N) = {eff:.3f}**
 (threshold 0.8: {"MET" if eff >= 0.8 else "NOT MET"})

@@ -23,6 +23,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _group_task_times(spark, groups) -> dict:
+    """Summed executor task run-time (seconds) per job group, from the
+    driver's AppStatusStore — the same numbers the (disabled) UI's
+    stage table shows. Attribution: each stage is counted once, under
+    the group of the first job that ran it. Best-effort over a private
+    JVM surface (py4j into AppStatusStore; shape tested against Spark
+    4.1.x) — returns {} rather than failing the job on a Spark upgrade."""
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        jobs = store.jobsList(None)
+        out = {g: 0.0 for g in groups}
+        seen: set[int] = set()
+        for i in range(jobs.size()):
+            j = jobs.apply(i)
+            grp = j.jobGroup()
+            grp = grp.get() if grp.isDefined() else None
+            if grp not in out:
+                continue
+            sids = j.stageIds()
+            for k in range(sids.size()):
+                sid = sids.apply(k)
+                if sid in seen:
+                    continue
+                seen.add(sid)
+                try:
+                    out[grp] += store.lastStageAttempt(sid) \
+                                     .executorRunTime() / 1000.0
+                except Exception:
+                    pass  # skipped/unsubmitted stage has no attempt
+        return {g: round(v, 3) for g, v in out.items()}
+    except Exception:
+        return {}
+
+
 def main(argv=None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=None, help="parquet path of repo table")
@@ -170,9 +204,23 @@ def main(argv=None) -> dict:
     # constraint_report's own internal fan-out; on a real cluster this
     # is two concurrent jobs in one SparkSession, standard scheduling.
     from concurrent.futures import ThreadPoolExecutor
+
+    def _grouped_constraints():
+        # pinned-thread mode (Spark 3.2+ default): job-group properties
+        # are per-Python-thread, so the two concurrent legs' stages are
+        # attributable separately in the status store
+        spark.sparkContext.setJobGroup("timed-constraints",
+                                       "constraint suite (overlapped)")
+        try:
+            return constraint_report(spark, df, n_buckets=args.buckets,
+                                     n_salts=args.salts)
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+
+    spark.sparkContext.setJobGroup("timed-validate",
+                                   "validation scan + verdicts")
     with ThreadPoolExecutor(max_workers=1) as ex:
-        f_rep = ex.submit(constraint_report, spark, df,
-                          n_buckets=args.buckets, n_salts=args.salts)
+        f_rep = ex.submit(_grouped_constraints)
         res = validate_repo_table(spark, df, checkpoint_dir=args.checkpoint,
                                   n_buckets=args.buckets, n_salts=args.salts,
                                   chunk_size=args.chunk_size,
@@ -189,6 +237,9 @@ def main(argv=None) -> dict:
         t_validate = time.perf_counter() - t0
         rep = f_rep.result()
     dt = time.perf_counter() - t0
+    spark.sparkContext.setJobGroup("", "")
+    task_times = _group_task_times(
+        spark, ("timed-validate", "timed-constraints"))
     # an EMPTY table aggregates to NULL counters and zero buckets:
     # report zeros and a vacuous pass (same rule as the incremental
     # path's cumulative view), not a TypeError
@@ -203,6 +254,10 @@ def main(argv=None) -> dict:
         "wall_sec": round(dt, 3),
         "validate_sec": round(t_validate, 3),
         "constraints_sec": round(dt - t_validate, 3),
+        # summed executor task time per overlapped leg (r04 verdict #7:
+        # the wall-clock ratio alone cannot show whether the overlap
+        # thread penalizes the small-core leg — task time can)
+        "task_time_sec": task_times,
         "files_per_sec": round((agg["rows"] or 0) / dt, 1),
         "cpus": args.cpus,
         "constraints": rep,

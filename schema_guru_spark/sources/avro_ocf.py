@@ -3,8 +3,11 @@
 Implements the subset of the Avro 1.12 specification
 (https://avro.apache.org/docs/1.12.0/specification/) that Apache
 Iceberg's metadata files use: records, unions, arrays, maps, fixed,
-enums, and the primitive types, with the ``null`` and ``deflate``
-block codecs. This exists because the sandbox has no fastavro /
+enums, and the primitive types, with the ``null``, ``deflate`` and
+``snappy`` block codecs (snappy being what default-configured JVM
+writers emit for manifests; both the raw-format decompressor and a
+spec-valid greedy compressor live below, JVM-interop-tested in both
+directions). This exists because the sandbox has no fastavro /
 pyiceberg and no network to fetch the iceberg-spark runtime jar —
 but the *format* is public and small, so the Iceberg metadata layer
 (`iceberg_meta.py`) can still be exercised end-to-end.
@@ -168,6 +171,141 @@ def _decode(r: _Reader, schema: Any) -> Any:
     raise ValueError(f"unsupported avro type: {typ_name!r}")
 
 
+# ---------------------------------------------------------------------------
+# Snappy raw-block codec (public format:
+# https://github.com/google/snappy/blob/main/format_description.txt).
+# Default-configured JVM Avro writers emit snappy manifests, so the
+# metadata layer must read them; the decompressor is complete, the
+# compressor is spec-valid greedy matching (any conformant reader —
+# snappy-java included — decodes it; ratios are not the point here,
+# manifests are KB-scale).
+# ---------------------------------------------------------------------------
+
+def _read_uvarint(data: bytes, pos: int) -> tuple[int, int]:
+    val = shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("snappy: truncated varint")
+        b = data[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy: varint overflow")
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    total, pos = _read_uvarint(data, 0)
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 0x03
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:  # 60-63: length in the next 1-4 bytes, LE
+                nb = ln - 59
+                if pos + nb > n:
+                    raise ValueError("snappy: truncated literal length")
+                ln = int.from_bytes(data[pos:pos + nb], "little")
+                pos += nb
+            ln += 1
+            if pos + ln > n:
+                raise ValueError("snappy: truncated literal")
+            out += data[pos:pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 0x07) + 4
+            if pos >= n:
+                raise ValueError("snappy: truncated copy-1")
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            if pos + 2 > n:
+                raise ValueError("snappy: truncated copy-2")
+            off = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            if pos + 4 > n:
+                raise ValueError("snappy: truncated copy-4")
+            off = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: copy offset out of range")
+        # overlapping copies are legal and byte-at-a-time by definition
+        start = len(out) - off
+        for i in range(ln):
+            out.append(out[start + i])
+    if len(out) != total:
+        raise ValueError(
+            f"snappy: expected {total} decompressed bytes, got {len(out)}")
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """Greedy hash-match compressor. Emits a conformant stream: 4-byte
+    matches at 2-byte offsets plus literals; long literals use the
+    60-62 extended-length forms; matches > 64 bytes split (copy-2 max
+    length is 64)."""
+    out = bytearray()
+    n = len(data)
+    # uvarint of uncompressed length
+    v = n
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+    def emit_literal(lo: int, hi: int) -> None:
+        while lo < hi:
+            ln = min(hi - lo, 1 << 16)  # 2-byte extended form max 65536
+            if ln <= 60:
+                out.append((ln - 1) << 2)
+            elif ln <= 256:
+                out.append(60 << 2)
+                out.append(ln - 1)
+            else:
+                out.append(61 << 2)
+                out.extend((ln - 1).to_bytes(2, "little"))
+            out.extend(data[lo:lo + ln])
+            lo += ln
+
+    table: dict[bytes, int] = {}
+    i = lit_start = 0
+    while i + 4 <= n:
+        key = data[i:i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 0xFFFF:
+            # extend the match forward
+            ln = 4
+            while i + ln < n and ln < (1 << 20) and \
+                    data[j + ln] == data[i + ln]:
+                ln += 1
+            emit_literal(lit_start, i)
+            off = i - j
+            rem = ln
+            while rem > 0:
+                step = min(rem, 64)
+                if step < 4:  # tail shorter than min copy: literal it
+                    break
+                out.append(((step - 1) << 2) | 0x02)
+                out += off.to_bytes(2, "little")
+                rem -= step
+            i += ln - rem
+            lit_start = i
+        else:
+            i += 1
+    emit_literal(lit_start, n)
+    return bytes(out)
+
+
 def read_ocf(path: str) -> tuple[dict, list]:
     """Read an Avro OCF file → (file-metadata dict, list of records).
 
@@ -212,6 +350,15 @@ def _read_ocf_bytes(path: str, data: bytes) -> tuple[dict, list]:
         block = r.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            # Avro spec: snappy blocks carry a 4-byte big-endian CRC32
+            # of the UNCOMPRESSED data after the compressed bytes
+            if size < 4:
+                raise ValueError(f"{path}: snappy block too short")
+            block, crc = block[:-4], block[-4:]
+            block = _snappy_decompress(block)
+            if zlib.crc32(block) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
+                raise ValueError(f"{path}: snappy block CRC mismatch")
         elif codec != "null":
             raise ValueError(f"unsupported avro codec: {codec}")
         if count > len(block):
@@ -358,6 +505,9 @@ def write_ocf(path: str, schema: dict, records: Iterable[dict],
     if codec == "deflate":
         comp = zlib.compressobj(6, zlib.DEFLATED, -15)
         block = comp.compress(block) + comp.flush()
+    elif codec == "snappy":
+        crc = (zlib.crc32(block) & 0xFFFFFFFF).to_bytes(4, "big")
+        block = _snappy_compress(block) + crc
     elif codec != "null":
         raise ValueError(f"unsupported avro codec: {codec}")
 

@@ -25,10 +25,13 @@ runtime:
     >= data.seq; equality: delete.seq > data.seq, so re-inserted rows
     survive earlier deletes).
 
-Scope (documented, loud on violation): format-version 2, identity
-partition transforms prune (non-identity transforms are kept
-un-pruned, which is correct, just less selective), single current
-schema. ``data_files`` (the metadata-inspection API) still raises
+Scope (documented, loud on violation): format-version 2; partition
+pruning evaluates identity AND the spec's Appendix-B transforms —
+``bucket[N]`` (32-bit Murmur3, verified against the published spec
+vectors), ``truncate[W]``, ``year/month/day/hour`` — so a point
+predicate on a ``bucket(16, repo)`` table opens 1/16 of the data
+files; transforms/types outside that set are kept un-pruned (correct,
+just less selective), never dropped. ``data_files`` (the metadata-inspection API) still raises
 ``NotImplementedError`` when the snapshot carries deletes, because a
 caller consuming the data-file list alone would silently over-count;
 ``plan_scan``/``read_iceberg`` are the delete-aware surface. On a
@@ -169,6 +172,144 @@ def _identity_fields(meta: dict, spec_id: int) -> dict[str, str]:
     raise LookupError(f"partition spec {spec_id} not in metadata")
 
 
+def _spec_fields(meta: dict, spec_id: int) -> list[dict]:
+    """Every partition field of a spec (any transform):
+    [{name, source, source_type, transform}], source names/types from
+    the CURRENT schema so callers filter by today's column names even
+    across renames (field ids are the stable key)."""
+    cols = {f["id"]: (f["name"], f["type"])
+            for sch in meta["schemas"] if sch["schema-id"] ==
+            meta["current-schema-id"]
+            for f in sch["fields"]}
+    for spec in meta["partition-specs"]:
+        if spec["spec-id"] == spec_id:
+            return [{"name": f["name"],
+                     "source": cols[f["source-id"]][0],
+                     "source_type": cols[f["source-id"]][1],
+                     "transform": f["transform"]}
+                    for f in spec["fields"]]
+    raise LookupError(f"partition spec {spec_id} not in metadata")
+
+
+# ---------------------------------------------------------------------------
+# Partition transforms (Iceberg spec Appendix B)
+# https://iceberg.apache.org/spec/#appendix-b-32-bit-hash-requirements
+# bucket[N] uses the 32-bit x86 Murmur3 hash, seed 0; int/long/date/
+# time/timestamp hash their 8-byte little-endian long form, strings
+# their UTF-8 bytes; bucket id = (hash & Integer.MAX_VALUE) % N.
+# ---------------------------------------------------------------------------
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit x86 Murmur3 (public algorithm, Appendix B). Returns the
+    UNSIGNED 32-bit value; spec vectors quoted as signed int32 compare
+    via & 0xFFFFFFFF."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    body = n - n % 4
+    for i in range(0, body, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[body:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+_INT_LIKE = ("int", "long", "date", "time", "timestamp", "timestamptz",
+             "timestamp_ns", "timestamptz_ns")
+
+
+def _bucket_hash(value: Any, ice_type: str) -> int:
+    if ice_type in _INT_LIKE:
+        return murmur3_32(
+            int(value).to_bytes(8, "little", signed=True))
+    if ice_type == "string":
+        return murmur3_32(str(value).encode("utf-8"))
+    if ice_type in ("binary", "fixed"):
+        return murmur3_32(bytes(value))
+    raise NotImplementedError(f"bucket over {ice_type}")
+
+
+def transform_value(transform: str, value: Any, ice_type: str) -> Any:
+    """Evaluate a partition transform on a SOURCE-column value, giving
+    the partition-struct value a matching file carries (spec Partition
+    Transforms table). Raises NotImplementedError for transforms/types
+    outside the spec subset implemented here — pruning code treats
+    that as 'not prunable', never as 'excluded'."""
+    if transform == "identity":
+        return value
+    if value is None:
+        return None
+    m = re.match(r"^bucket\[(\d+)\]$", transform)
+    if m:
+        n = int(m.group(1))
+        return (_bucket_hash(value, ice_type) & 0x7FFFFFFF) % n
+    m = re.match(r"^truncate\[(\d+)\]$", transform)
+    if m:
+        w = int(m.group(1))
+        if ice_type in ("int", "long"):
+            v = int(value)
+            return v - (v % w)  # Python % floors: matches v - ((v%W)+W)%W
+        if ice_type == "string":
+            return str(value)[:w]  # codepoint prefix
+        raise NotImplementedError(f"truncate over {ice_type}")
+    if transform in ("year", "month", "day", "hour"):
+        return _time_transform(transform, value, ice_type)
+    raise NotImplementedError(f"transform {transform}")
+
+
+def _time_transform(transform: str, value: Any, ice_type: str) -> int:
+    from datetime import date, datetime, timezone
+    if ice_type == "date":
+        if isinstance(value, str):
+            value = date.fromisoformat(value)
+        if isinstance(value, date) and not isinstance(value, datetime):
+            days = (value - date(1970, 1, 1)).days
+        else:
+            days = int(value)  # already days-from-epoch
+        dt = date(1970, 1, 1).fromordinal(
+            date(1970, 1, 1).toordinal() + days)
+        if transform == "day":
+            return days
+        if transform == "month":
+            return (dt.year - 1970) * 12 + (dt.month - 1)
+        if transform == "year":
+            return dt.year - 1970
+        raise NotImplementedError("hour over date")
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(value, str):
+            value = datetime.fromisoformat(value.replace("Z", "+00:00"))
+        if isinstance(value, datetime):
+            epoch = (datetime(1970, 1, 1, tzinfo=timezone.utc)
+                     if value.tzinfo else datetime(1970, 1, 1))
+            micros = round((value - epoch).total_seconds() * 1e6)
+        else:
+            micros = int(value)  # already micros-from-epoch
+        if transform == "hour":
+            return micros // 3_600_000_000
+        days = micros // 86_400_000_000
+        if transform == "day":
+            return days
+        return _time_transform(transform, days, "date")
+    raise NotImplementedError(f"{transform} over {ice_type}")
+
+
 def _partition_keeps(part: dict[str, Any],
                      partition_filter: Optional[dict[str, Any]]) -> bool:
     for col, want in (partition_filter or {}).items():
@@ -176,6 +317,34 @@ def _partition_keeps(part: dict[str, Any],
             continue  # not prunable via this spec
         allowed = want if isinstance(want, (list, tuple, set)) else [want]
         if part[col] not in allowed:
+            return False
+    return True
+
+
+def _partition_keeps_spec(raw_part: dict[str, Any], fields: list[dict],
+                          partition_filter: Optional[dict[str, Any]],
+                          ) -> bool:
+    """Transform-aware pruning: a file survives unless SOME partition
+    field derived from a filtered source column carries a value outside
+    the transform image of the allowed set. Unknown transforms/types
+    (NotImplementedError) and void make the field non-prunable — kept,
+    never dropped (pruning must only ever be a subset of a full scan)."""
+    if not partition_filter:
+        return True
+    for f in fields:
+        if f["source"] not in partition_filter or \
+                f["name"] not in raw_part:
+            continue
+        if f["transform"] == "void":
+            continue  # every row maps to null: carries no information
+        want = partition_filter[f["source"]]
+        allowed = want if isinstance(want, (list, tuple, set)) else [want]
+        try:
+            image = {transform_value(f["transform"], v, f["source_type"])
+                     for v in allowed}
+        except NotImplementedError:
+            continue
+        if raw_part[f["name"]] not in image:
             return False
     return True
 
@@ -210,6 +379,7 @@ def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
     deletes: list[DeleteFile] = []
     for mf in manifests:
         ident = _identity_fields(meta, mf["partition_spec_id"])
+        fields = _spec_fields(meta, mf["partition_spec_id"])
         _, entries = read_ocf(_strip_file_uri(mf["manifest_path"]))
         for e in entries:
             if e["status"] == 2:  # DELETED
@@ -222,7 +392,9 @@ def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
                 seq = mf.get("sequence_number", 0)
             part = {ident[k]: v for k, v in df["partition"].items()
                     if k in ident}
-            if not _partition_keeps(part, partition_filter):
+            if not _partition_keeps(part, partition_filter) or \
+                    not _partition_keeps_spec(df["partition"], fields,
+                                              partition_filter):
                 continue
             content = df.get("content", 0)
             added_by = e.get("snapshot_id")
@@ -382,6 +554,7 @@ def plan_incremental(table_path: str, from_snapshot_id: int,
                     "'append' but added a delete manifest — corrupt "
                     "or mislabeled metadata; full scan required")
             ident = _identity_fields(meta, mf["partition_spec_id"])
+            fields = _spec_fields(meta, mf["partition_spec_id"])
             _, entries = read_ocf(_strip_file_uri(mf["manifest_path"]))
             for e in entries:
                 if e["status"] != 1:  # only ADDED entries
@@ -399,7 +572,9 @@ def plan_incremental(table_path: str, from_snapshot_id: int,
                     seq = mf.get("sequence_number", 0)
                 part = {ident[k]: v for k, v in df["partition"].items()
                         if k in ident}
-                if not _partition_keeps(part, partition_filter):
+                if not _partition_keeps(part, partition_filter) or \
+                        not _partition_keeps_spec(df["partition"], fields,
+                                                  partition_filter):
                     continue
                 data.append(DataFile(
                     path=_strip_file_uri(df["file_path"]),
@@ -468,7 +643,11 @@ def data_files(table_path: str, snapshot_id: Optional[int] = None,
 
 _ICE_TO_SPARK = {"string": "string", "long": "bigint", "int": "int",
                  "double": "double", "float": "float",
-                 "boolean": "boolean", "binary": "binary"}
+                 "boolean": "boolean", "binary": "binary",
+                 # iceberg timestamp is tz-free micros; timestamptz is
+                 # UTC-adjusted (spec Primitive Types)
+                 "timestamp": "timestamp_ntz",
+                 "timestamptz": "timestamp", "date": "date"}
 
 
 # broadcast delete sets below this many rows (manifest record counts,
@@ -708,7 +887,11 @@ _MANIFEST_FILE_SCHEMA = {
 
 _ICE_TO_AVRO = {"string": "string", "long": "long", "int": "int",
                 "double": "double", "float": "float",
-                "boolean": "boolean", "binary": "bytes"}
+                "boolean": "boolean", "binary": "bytes",
+                # day-transform partition values (days from epoch);
+                # plain int on the wire, the logical type is implied by
+                # the spec's transform result-type table
+                "date": "int"}
 
 
 def _manifest_entry_schema(partition_fields: list[dict],
@@ -762,6 +945,14 @@ def append_snapshot(table_path: str, rows: list[dict],
     ``version-hint.text``. Deterministic throughout (fixed timestamp,
     uuid5 table id, sequential snapshot ids) so fixtures are
     byte-reproducible. ``schema`` is ``[(col, iceberg_type), ...]``.
+
+    ``partition_by`` is either a bare column name (identity transform)
+    or ``"col:transform"`` with a spec Appendix-B transform —
+    ``"repo:bucket[16]"``, ``"path:truncate[8]"``, ``"ts:day"`` — the
+    partition struct then stores the TRANSFORMED value computed by
+    ``transform_value`` (the same function plan_scan prunes with, but
+    pruning correctness is cross-checked against full-scan row sets in
+    tests, not against the writer alone).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -771,6 +962,18 @@ def append_snapshot(table_path: str, rows: list[dict],
     ddir = os.path.join(table_path, "data")
     os.makedirs(mdir, exist_ok=True)
     os.makedirs(ddir, exist_ok=True)
+
+    # parse "col" or "col:transform"
+    part_col, part_transform = None, "identity"
+    if partition_by:
+        part_col, _, tr = partition_by.partition(":")
+        part_transform = tr or "identity"
+    if part_transform == "identity":
+        part_name = part_col
+    else:
+        suffix = re.sub(r"\[\d+\]$", "", part_transform)
+        suffix = {"truncate": "trunc"}.get(suffix, suffix)
+        part_name = f"{part_col}_{suffix}" if part_col else None
 
     hint = os.path.join(mdir, "version-hint.text")
     if os.path.exists(hint):
@@ -787,8 +990,8 @@ def append_snapshot(table_path: str, rows: list[dict],
                 "unsupported)")
         spec0 = next(s for s in prev["partition-specs"]
                      if s["spec-id"] == 0)
-        if [f["name"] for f in spec0["fields"]] != \
-                ([partition_by] if partition_by else []):
+        if [(f["name"], f["transform"]) for f in spec0["fields"]] != \
+                ([(part_name, part_transform)] if part_col else []):
             raise ValueError(
                 "append_snapshot does not evolve partition specs")
     else:
@@ -805,31 +1008,50 @@ def append_snapshot(table_path: str, rows: list[dict],
                      else 0)
     types = dict(schema)
     part_fields_meta = []
-    if partition_by:
-        if partition_by not in types:
-            raise ValueError(f"unknown partition column {partition_by}")
+    part_val_type = None
+    if part_col:
+        if part_col not in types:
+            raise ValueError(f"unknown partition column {part_col}")
         part_fields_meta = [{
-            "name": partition_by, "transform": "identity",
-            "source-id": field_ids[partition_by], "field-id": 1000}]
+            "name": part_name, "transform": part_transform,
+            "source-id": field_ids[part_col], "field-id": 1000}]
+        # partition-struct value type per the spec's transform table
+        if part_transform == "identity":
+            part_val_type = types[part_col]
+        elif part_transform.startswith("bucket["):
+            part_val_type = "int"
+        elif part_transform.startswith("truncate["):
+            part_val_type = types[part_col]
+        elif part_transform == "day":
+            part_val_type = "date"
+        else:  # year / month / hour
+            part_val_type = "int"
 
     _PA = {"string": pa.string(), "long": pa.int64(), "int": pa.int32(),
            "double": pa.float64(), "float": pa.float32(),
-           "boolean": pa.bool_(), "binary": pa.binary()}
+           "boolean": pa.bool_(), "binary": pa.binary(),
+           # iceberg timestamp/timestamptz are micros; rows pass them
+           # as int micros-from-epoch (matches plan_scan's transform
+           # evaluation and Spark's parquet reader)
+           "timestamp": pa.timestamp("us"),
+           "timestamptz": pa.timestamp("us", tz="UTC"),
+           "date": pa.date32()}
     pa_schema = pa.schema([(n, _PA[t]) for n, t in schema])
 
-    # -- data files: one parquet per identity-partition value
+    # -- data files: one parquet per (transformed) partition value
     groups: dict[Any, list[dict]] = {}
     for r in rows:
-        groups.setdefault(r[partition_by] if partition_by else None,
-                          []).append(r)
-    entry_part_fields = [{"name": partition_by,
-                          "ice_type": types[partition_by],
-                          "field-id": 1000}] if partition_by else []
+        pv = (transform_value(part_transform, r[part_col],
+                              types[part_col]) if part_col else None)
+        groups.setdefault(pv, []).append(r)
+    entry_part_fields = [{"name": part_name,
+                          "ice_type": part_val_type,
+                          "field-id": 1000}] if part_col else []
     entries = []
     for i, (pval, grp) in enumerate(sorted(groups.items(),
                                            key=lambda kv: str(kv[0]))):
-        sub = (os.path.join(ddir, f"{partition_by}={pval}")
-               if partition_by else ddir)
+        sub = (os.path.join(ddir, f"{part_name}={pval}")
+               if part_col else ddir)
         os.makedirs(sub, exist_ok=True)
         fpath = os.path.join(sub, f"{snap_id:05d}-{i:05d}.parquet")
         tbl = pa.Table.from_pylist(grp, schema=pa_schema)
@@ -840,8 +1062,8 @@ def append_snapshot(table_path: str, rows: list[dict],
             "data_file": {
                 "content": 0, "file_path": "file://" + fpath,
                 "file_format": "PARQUET",
-                "partition": ({partition_by: pval}
-                              if partition_by else {}),
+                "partition": ({part_name: pval}
+                              if part_col else {}),
                 "record_count": len(grp),
                 "file_size_in_bytes": os.path.getsize(fpath)}})
 

@@ -159,3 +159,41 @@ def test_negative_union_and_enum_index_fail_loudly(tmp_path):
     r = _Reader(b"\x01")
     with pytest.raises(ValueError, match="enum index -1"):
         _decode(r, {"type": "enum", "name": "e", "symbols": ["A", "B"]})
+
+
+# ---------------------------------------------------------------------------
+# snappy codec (r04 verdict #5)
+# ---------------------------------------------------------------------------
+
+def test_snappy_raw_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+    from schema_guru_spark.sources.avro_ocf import (_snappy_compress,
+                                                    _snappy_decompress)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=5000))
+    def _inner(data):
+        assert _snappy_decompress(_snappy_compress(data)) == data
+
+    _inner()
+
+
+def test_snappy_compresses_repetitive_data():
+    from schema_guru_spark.sources.avro_ocf import (_snappy_compress,
+                                                    _snappy_decompress)
+    data = b"manifest-entry-" * 1000
+    comp = _snappy_compress(data)
+    assert len(comp) < len(data) // 4
+    assert _snappy_decompress(comp) == data
+
+
+def test_snappy_decompress_rejects_corruption():
+    import pytest
+    from schema_guru_spark.sources.avro_ocf import (_snappy_compress,
+                                                    _snappy_decompress)
+    good = _snappy_compress(b"hello world, hello world, hello world")
+    with pytest.raises(ValueError):
+        _snappy_decompress(good[:-3])  # truncated
+    with pytest.raises(ValueError):
+        # copy before stream start: offset out of range
+        _snappy_decompress(bytes([10]) + bytes([0x02, 0xFF, 0xFF]))

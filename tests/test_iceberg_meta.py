@@ -440,3 +440,183 @@ def test_resume_with_pinned_snapshot_sees_original_rows(
     # an UNPINNED read at resume time would have seen a different
     # table than the checkpoint manifest describes — the hazard
     assert read_table(spark, path=tp).count() == 65
+
+
+# ---------------------------------------------------------------------------
+# non-identity partition transforms (r04 verdict #4)
+# ---------------------------------------------------------------------------
+
+def test_murmur3_spec_vectors():
+    """Iceberg spec Appendix B 32-bit hash requirements — the published
+    test vectors (signed int32)."""
+    from datetime import date, datetime
+    from schema_guru_spark.sources.iceberg_meta import _bucket_hash
+
+    def signed(x):
+        return x - (1 << 32) if x >= (1 << 31) else x
+
+    assert signed(_bucket_hash(34, "int")) == 2017239379
+    assert signed(_bucket_hash(34, "long")) == 2017239379
+    assert signed(_bucket_hash("iceberg", "string")) == 1210000089
+    days = (date(2017, 11, 16) - date(1970, 1, 1)).days
+    assert signed(_bucket_hash(days, "date")) == -653330422
+    micros = int((datetime(2017, 11, 16, 22, 31, 8)
+                  - datetime(1970, 1, 1)).total_seconds() * 1e6)
+    assert signed(_bucket_hash(micros, "timestamp")) == -2047944441
+
+
+def test_transform_value_table():
+    from schema_guru_spark.sources.iceberg_meta import transform_value
+    assert transform_value("truncate[10]", -1, "long") == -10
+    assert transform_value("truncate[10]", 11, "int") == 10
+    assert transform_value("truncate[5]", "iceberg", "string") == "icebe"
+    assert transform_value("day", "2017-11-16T22:31:08",
+                           "timestamp") == 17486
+    assert transform_value("hour", "2017-11-16T22:31:08",
+                           "timestamp") == 17486 * 24 + 22
+    assert transform_value("month", "2017-11-16", "date") == 574
+    assert transform_value("year", "2017-11-16", "date") == 47
+    assert transform_value("identity", "x", "string") == "x"
+    assert transform_value("bucket[16]", None, "string") is None
+    with pytest.raises(NotImplementedError):
+        transform_value("bucket[4]", 1.5, "double")
+
+
+def _bucketed_table(tmp_path, n=60, buckets=16):
+    tp = str(tmp_path / "tb")
+    rows = [{"repo": f"r{i % 10}", "lang": "py",
+             "content": json.dumps({"i": i})} for i in range(n)]
+    append_snapshot(tp, rows, [("repo", "string"), ("lang", "string"),
+                               ("content", "string")],
+                    partition_by=f"repo:bucket[{buckets}]")
+    return tp
+
+
+def test_bucket_partition_point_lookup_prunes(tmp_path, spark):
+    """A point predicate on a bucket(16, repo) table must open only the
+    matching bucket's files — and the pruned read's rows must equal the
+    full scan filtered Spark-side (pruning is an optimization, never a
+    row-set change)."""
+    from schema_guru_spark.sources.iceberg_meta import (plan_scan,
+                                                        read_iceberg,
+                                                        transform_value)
+    tp = _bucketed_table(tmp_path)
+    full = plan_scan(tp)
+    pruned = plan_scan(tp, partition_filter={"repo": "r3"})
+    want_bucket = transform_value("bucket[16]", "r3", "string")
+    assert 0 < len(pruned.data) < len(full.data)
+    # every surviving file carries the predicate's bucket id
+    assert {f.path.split("repo_bucket=")[1].split("/")[0]
+            for f in pruned.data} == {str(want_bucket)}
+    got = (read_iceberg(spark, tp, partition_filter={"repo": "r3"})
+           .where("repo = 'r3'").count())
+    want = read_iceberg(spark, tp).where("repo = 'r3'").count()
+    assert got == want == 6
+
+
+def test_truncate_partition_prunes_and_matches_full_scan(tmp_path, spark):
+    from schema_guru_spark.sources.iceberg_meta import (plan_scan,
+                                                        read_iceberg)
+    tp = str(tmp_path / "tt")
+    rows = [{"repo": f"org{i % 3}/r{i}", "lang": "py",
+             "content": json.dumps({"i": i})} for i in range(30)]
+    append_snapshot(tp, rows, [("repo", "string"), ("lang", "string"),
+                               ("content", "string")],
+                    partition_by="repo:truncate[4]")
+    full = plan_scan(tp)
+    pruned = plan_scan(tp, partition_filter={"repo": "org1/r7"})
+    assert 0 < len(pruned.data) < len(full.data)
+    got = (read_iceberg(spark, tp, partition_filter={"repo": "org1/r7"})
+           .where("repo = 'org1/r7'").count())
+    assert got == 1
+
+
+def test_day_partition_prunes(tmp_path):
+    from schema_guru_spark.sources.iceberg_meta import plan_scan
+    tp = str(tmp_path / "td")
+    base = 1_700_000_000_000_000  # micros, 2023-11-14T22:13:20Z
+    rows = [{"repo": "r", "ts": base + i * 86_400_000_000,
+             "content": "x"} for i in range(5)]
+    append_snapshot(tp, rows, [("repo", "string"), ("ts", "timestamp"),
+                               ("content", "string")],
+                    partition_by="ts:day")
+    full = plan_scan(tp)
+    assert len(full.data) == 5  # one file per day
+    pruned = plan_scan(tp, partition_filter={"ts": base})
+    assert len(pruned.data) == 1
+
+
+def test_unknown_transform_is_kept_not_dropped():
+    """Pruning must only ever remove files it can PROVE excluded."""
+    from schema_guru_spark.sources.iceberg_meta import _partition_keeps_spec
+    fields = [{"name": "repo_weird", "source": "repo",
+               "source_type": "string", "transform": "weird[3]"}]
+    assert _partition_keeps_spec({"repo_weird": 1}, fields,
+                                 {"repo": "r1"})
+    void = [{"name": "v", "source": "repo", "source_type": "string",
+             "transform": "void"}]
+    assert _partition_keeps_spec({"v": None}, void, {"repo": "r1"})
+
+
+def test_bucketed_incremental_plan_prunes(tmp_path):
+    from schema_guru_spark.sources.iceberg_meta import (plan_incremental,
+                                                        transform_value)
+    tp = _bucketed_table(tmp_path)
+    rows2 = [{"repo": f"r{i % 10}", "lang": "py",
+              "content": json.dumps({"i": 1000 + i})} for i in range(40)]
+    s2 = append_snapshot(tp, rows2,
+                         [("repo", "string"), ("lang", "string"),
+                          ("content", "string")],
+                         partition_by="repo:bucket[16]")
+    plan = plan_incremental(tp, 1, s2, partition_filter={"repo": "r3"})
+    want_bucket = transform_value("bucket[16]", "r3", "string")
+    assert plan.data, "incremental window lost its files"
+    assert {f.path.split("repo_bucket=")[1].split("/")[0]
+            for f in plan.data} == {str(want_bucket)}
+
+
+def test_avro_snappy_python_write_java_read(tmp_path, spark):
+    """snappy OCF interop, write side: our greedy-match compressor's
+    output must decode under snappy-java (the reference JVM codec),
+    CRC32 suffix included — r04 verdict #5."""
+    p = str(tmp_path / "py_snappy.avro")
+    write_ocf(p, AVRO_SCHEMA, AVRO_RECS, codec="snappy")
+    jvm = spark._jvm  # noqa: SLF001
+    rd = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p),
+        jvm.org.apache.avro.generic.GenericDatumReader())
+    recs = []
+    while rd.hasNext():
+        recs.append(rd.next())
+    rd.close()
+    assert len(recs) == 2
+    assert str(recs[0].get("s")) == AVRO_RECS[0]["s"]
+    assert recs[1].get("o") == 42
+
+
+def test_avro_snappy_java_write_python_read(tmp_path, spark):
+    """And the read side: a default-configured JVM writer's snappy
+    manifest decodes identically under the pure-Python block codec."""
+    p = str(tmp_path / "java_snappy.avro")
+    jvm = spark._jvm  # noqa: SLF001
+    sch = jvm.org.apache.avro.Schema.Parser().parse(
+        json.dumps(AVRO_SCHEMA))
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch))
+    w.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
+    w.create(sch, jvm.java.io.File(p))
+    for rec in AVRO_RECS:
+        avro_json = json.dumps({
+            "s": rec["s"], "n": rec["n"],
+            "o": None if rec["o"] is None else {"long": rec["o"]},
+            "arr": rec["arr"],
+            "m": {k: v.decode("latin-1") for k, v in rec["m"].items()},
+            "b": rec["b"]})
+        dec = jvm.org.apache.avro.io.DecoderFactory.get() \
+            .jsonDecoder(sch, avro_json)
+        gr = jvm.org.apache.avro.generic.GenericDatumReader(sch) \
+            .read(None, dec)
+        w.append(gr)
+    w.close()
+    _, back = read_ocf(p)
+    assert back == AVRO_RECS
