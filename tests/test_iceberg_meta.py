@@ -620,3 +620,49 @@ def test_avro_snappy_java_write_python_read(tmp_path, spark):
     w.close()
     _, back = read_ocf(p)
     assert back == AVRO_RECS
+
+
+def test_run_validation_langs_prunes_truncate_partitioned(tmp_path,
+                                                          spark, capsys):
+    """r04 verdict #4's second criterion: the validation job's --langs
+    filter must prune through a NON-identity (truncate-partitioned)
+    spec — the metadata plan opens only the partitions whose truncated
+    value matches a requested lang's image, and the row set equals the
+    identity-partitioned run's."""
+    from schema_guru_spark.run_validation import main
+    from schema_guru_spark.sources.iceberg_meta import plan_scan
+    tp = str(tmp_path / "repos")
+    append_snapshot(tp, _rows(30, "c1"), SCHEMA,
+                    partition_by="lang:truncate[2]")
+    # metadata-level: only the 'py' partition's files survive
+    # (truncate[2]: py->'py', scala->'sc', go->'go')
+    pruned = plan_scan(tp, partition_filter={"lang": ["py"]})
+    full = plan_scan(tp)
+    assert 0 < len(pruned.data) < len(full.data)
+    # job-level: rows match the lang filter exactly (10 of 30 are py)
+    main(["--input", tp, "--langs", "py", "--buckets", "4",
+          "--cpus", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 10
+
+
+def test_truncate_collision_residual_filter(tmp_path, spark):
+    """truncate[2] maps 'scala' and 'scheme' to the same partition
+    ('sc') — metadata pruning alone would over-include, so the
+    read_table route's residual isin filter must remove the
+    co-resident rows. Pruning is a superset optimization, the
+    predicate owns exactness."""
+    from schema_guru_spark.sources.catalog import read_table
+    from schema_guru_spark.sources.iceberg_meta import plan_scan
+    tp = str(tmp_path / "repos")
+    rows = _rows(30, "c1", langs=("scala", "scheme", "go"))
+    append_snapshot(tp, rows, SCHEMA, partition_by="lang:truncate[2]")
+    pruned = plan_scan(tp, partition_filter={"lang": ["scala"]})
+    # the shared 'sc' partition survives pruning (and 'go' does not)
+    assert {f.path.split("lang_trunc=")[1].split("/")[0]
+            for f in pruned.data} == {"sc"}
+    got = read_table(spark, path=tp,
+                     partition_filter={"lang": ["scala"]})
+    assert got.count() == 10
+    assert {r["lang"] for r in got.select("lang").distinct().collect()} \
+        == {"scala"}
