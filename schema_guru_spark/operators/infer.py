@@ -41,8 +41,25 @@ from schema_guru_spark.core.microschema import ZERO, derive, dumps, loads, merge
 from schema_guru_spark.core.transforms import apply_transforms, extract_keys
 from schema_guru_spark.core.levenshtein import get_duplicates
 
-_OUT_SCHEMA = "kind string, payload string, n_ok bigint, n_err bigint"
+_OUT_SCHEMA = ("kind string, payload string, n_ok bigint, n_err bigint, "
+               "pid int")
 _STATE_KIND, _VIOLATION_KIND = "s", "v"
+
+
+def _enum_order_sensitive(ctx: SchemaContext) -> bool:
+    """True when the enum machinery is live. The reference's enum merge
+    checks size on the CONCATENATION before distinct
+    (SchemaWithEnum.scala:57-70, pinned by
+    test_concat_size_check_precedes_distinct), which is neither
+    commutative nor associative — merging partial states in task-
+    completion order would make the inferred enums depend on the
+    scheduler. Such contexts fold their partial states in PARTITION
+    ORDER on the driver instead of through the combine tree: the result
+    is deterministic for a fixed input partitioning (the reference's
+    own Spark job folds the same non-commutative merge through
+    RDD.aggregate with no ordering guarantee at all,
+    SchemaGuruRDD.scala:44-60)."""
+    return ctx.enum_cardinality > 0 or bool(ctx.enum_sets)
 
 
 def _require_commutative(ctx: SchemaContext) -> None:
@@ -75,10 +92,13 @@ def _derive_partial(ctx: SchemaContext, column: str):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+        from pyspark import TaskContext
 
         from schema_guru_spark.core.accumulate import gate_error_message
         from schema_guru_spark.core.accumulate_batch import fold_docs
 
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
         acc: dict = {}  # task-private (accumulate mutates in place)
         n_ok = 0
         n_err = 0
@@ -117,29 +137,37 @@ def _derive_partial(ctx: SchemaContext, column: str):
             if errs:
                 yield pd.DataFrame({
                     "kind": _VIOLATION_KIND, "payload": errs,
-                    "n_ok": 0, "n_err": 1,
+                    "n_ok": 0, "n_err": 1, "pid": pid,
                 })
         yield pd.DataFrame({
             "kind": [_STATE_KIND], "payload": [dumps(acc)],
-            "n_ok": [n_ok], "n_err": [n_err],
+            "n_ok": [n_ok], "n_err": [n_err], "pid": [pid],
         })
 
     return fn
 
 
 def _state_combiner(ctx: SchemaContext):
+    # only reachable for commutative (enum-off) contexts — see
+    # infer_json_column; pid carries the min so the column stays defined
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = ZERO
         n_ok = 0
         n_err = 0
+        pid = None
         for pdf in batches:
-            for payload, ok, err in zip(pdf["payload"], pdf["n_ok"], pdf["n_err"]):
+            for payload, ok, err, p in zip(pdf["payload"], pdf["n_ok"],
+                                           pdf["n_err"], pdf["pid"]):
                 acc = merge(acc, loads(payload), ctx)
                 n_ok += int(ok)
                 n_err += int(err)
+                p = int(p)
+                if pid is None or p < pid:
+                    pid = p
         yield pd.DataFrame({
             "kind": [_STATE_KIND], "payload": [dumps(acc)],
             "n_ok": [n_ok], "n_err": [n_err],
+            "pid": [pid if pid is not None else -1],
         })
 
     return fn
@@ -207,7 +235,13 @@ def infer_json_column(df: DataFrame, column: str, ctx: SchemaContext,
     """
     _require_commutative(ctx)
     spark = df.sparkSession
-    src = _widen_small_scan(df.select(column))
+    enum_on = _enum_order_sensitive(ctx)
+    src = df.select(column)
+    if not enum_on:
+        # widening repartitions rows round-robin, which would make an
+        # order-sensitive (enum-bearing) fold depend on the session's
+        # parallelism instead of the input layout alone — skip it there
+        src = _widen_small_scan(src)
     raw = src.mapInPandas(_derive_partial(ctx, column), _OUT_SCHEMA)
     raw = raw.persist()
     violations = raw.filter(F.col("kind") == _VIOLATION_KIND) \
@@ -217,12 +251,22 @@ def infer_json_column(df: DataFrame, column: str, ctx: SchemaContext,
     # intermediate tree-combine rounds executor-side; counting the (tiny,
     # persisted) state rows also materializes the single data pass
     n = states.count()
-    while n > fanin:
-        n = max(1, math.ceil(n / fanin))
-        states = states.repartition(n).mapInPandas(_state_combiner(ctx), _OUT_SCHEMA)
+    if not enum_on:
+        while n > fanin:
+            n = max(1, math.ceil(n / fanin))
+            states = states.repartition(n).mapInPandas(
+                _state_combiner(ctx), _OUT_SCHEMA)
 
+    rows = states.collect()
+    if enum_on:
+        # the enum merge is order-sensitive (see _enum_order_sensitive):
+        # no combine tree (a tree fold of a non-associative merge varies
+        # with its shape), one driver-side fold in partition order —
+        # P tiny state rows, so driver cost is O(partitions), same as
+        # the final fold below
+        rows = sorted(rows, key=lambda r: r["pid"])
     acc, n_ok, n_err = ZERO, 0, 0
-    for row in states.collect():
+    for row in rows:
         acc = merge(acc, loads(row["payload"]), ctx)
         n_ok += row["n_ok"]
         n_err += row["n_err"]
@@ -307,20 +351,31 @@ def infer_json_column_by_key(df: DataFrame, column: str, key_col: str,
     where ``schema`` is the rendered JSON Schema (transforms applied).
     """
     _require_commutative(ctx)
-    part_schema = f"{key_col} string, payload string, n_ok bigint, n_err bigint"
+    part_schema = (f"{key_col} string, payload string, n_ok bigint, "
+                   "n_err bigint, pid int")
 
     def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
         accs: dict = {}
         counts: dict = {}
         for pdf in batches:
             _fold_keyed_batch(accs, counts, pdf, key_col, column, ctx)
         if accs:
             yield pd.DataFrame(
-                [(k, dumps(a), counts[k][0], counts[k][1])
+                [(k, dumps(a), counts[k][0], counts[k][1], pid)
                  for k, a in accs.items()],
-                columns=[key_col, "payload", "n_ok", "n_err"])
+                columns=[key_col, "payload", "n_ok", "n_err", "pid"])
 
     def phase2(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # partial states arrive in grouped-shuffle order; fold them in
+        # scan-partition order so enum-bearing contexts (order-sensitive
+        # merge, see _enum_order_sensitive) stay deterministic for a
+        # fixed input partitioning — <= #tasks rows per key, so the sort
+        # is O(tasks log tasks) on tiny rows
+        pdf = pdf.sort_values("pid")
         acc, n_ok, n_err = ZERO, 0, 0
         for payload, ok, err in zip(pdf["payload"], pdf["n_ok"], pdf["n_err"]):
             acc = merge(acc, loads(payload), ctx)
@@ -334,7 +389,12 @@ def infer_json_column_by_key(df: DataFrame, column: str, key_col: str,
             "n_ok": [n_ok], "n_err": [n_err],
         })
 
-    src = _widen_small_scan(df.select(key_col, column))
+    src = df.select(key_col, column)
+    if not _enum_order_sensitive(ctx):
+        # same rule as infer_json_column: enum-bearing contexts keep the
+        # input layout so the per-key pid-ordered fold in phase2 is a
+        # function of the input alone
+        src = _widen_small_scan(src)
     partial = src.mapInPandas(phase1, part_schema)
     return partial.groupBy(key_col).applyInPandas(
         phase2, f"{key_col} string, schema string, n_ok bigint, n_err bigint")

@@ -111,14 +111,42 @@ def canon(s):
 @settings(max_examples=150, deadline=None)
 @given(st.lists(json_docs, min_size=1, max_size=5))
 def test_merge_commutative_and_associative(docs):
-    schemas = [derive(d, CTX_ENUM)[0] for d in docs]
-    fwd = merge_all(schemas, CTX_ENUM)
-    rev = merge_all(list(reversed(schemas)), CTX_ENUM)
+    """Enum-OFF contexts only: the enum-free merge is the commutative
+    monoid the distributed tree-reduction depends on. Enum-bearing
+    contexts are order-sensitive BY REFERENCE SEMANTICS (the concat-size
+    check, SchemaWithEnum.scala:57-70) — pinned separately below — and
+    the distributed paths fold their states in partition order instead
+    of through the combine tree (operators/infer.py:
+    _enum_order_sensitive)."""
+    schemas = [derive(d, CTX)[0] for d in docs]
+    fwd = merge_all(schemas, CTX)
+    rev = merge_all(list(reversed(schemas)), CTX)
     # pairwise tree shape
     tree = schemas[0]
     for s in schemas[1:]:
-        tree = merge(s, tree, CTX_ENUM)
+        tree = merge(s, tree, CTX)
     assert canon(fwd) == canon(rev) == canon(tree)
+
+
+def test_enum_merge_is_order_sensitive_by_reference_semantics():
+    """The counterexample hypothesis found (2026-08-18), kept as a pin:
+    the reference's concat-size-before-distinct rule makes enum merge
+    NON-commutative — forward order tombstones (intermediate concat of
+    4 + 2 observations > cardinality 5) while reverse order survives
+    (the duplicate '' collapses before the final size check). This is
+    reference behavior (EnumSpec.scala:75 'TODO: ignore order'), not a
+    repo bug; it is WHY enum-bearing contexts must never ride the
+    unordered combine tree."""
+    docs = [[["0", "0.0.0.0"]],
+            [["", "http://example.com/a"]],
+            [["", "e3e70682-c209-4cac-629f-6fbed82c07cd"]]]
+    schemas = [derive(d, CTX_ENUM)[0] for d in docs]
+    fwd = merge_all(schemas, CTX_ENUM)
+    rev = merge_all(list(reversed(schemas)), CTX_ENUM)
+    f_enum = fwd["arr"]["items"]["arr"]["items"]["str"]["enum"]
+    r_enum = rev["arr"]["items"]["arr"]["items"]["str"]["enum"]
+    assert f_enum is None
+    assert r_enum is not None and len(r_enum) == 5
 
 
 @settings(max_examples=100, deadline=None)

@@ -240,3 +240,34 @@ def test_widen_small_scan_noop_on_tiny_input(spark):
 
     df = spark.range(100).selectExpr("cast(id as string) as content")
     assert _widen_small_scan(df) is df  # < 8 MiB: never widened
+
+
+def test_enum_infer_folds_states_in_partition_order(spark):
+    """Enum-bearing contexts merge with the reference's order-SENSITIVE
+    concat-size rule (test_enum_merge_is_order_sensitive_by_reference_
+    semantics), so infer_json_column must fold partial states in
+    PARTITION order, not combine-tree or task-completion order.
+
+    Corpus built so that exactly the pid-ascending fold keeps the enum
+    (K=4): p0 {p,q} ⊕ p1 {p,r} concatenates 4 <= 4 and the duplicate
+    'p' collapses, so ⊕ p2 {s} is again 4 <= 4 -> kept; folding p2
+    or p1 first reaches a 5-long concat and tombstones. A green run
+    proves the fold order, not just stability."""
+    import json as _json
+
+    ctx = SchemaContext.make(4)
+    parts = [["p", "q"], ["p", "r"], ["s"]]
+    sc = spark.sparkContext
+    # RDD union (not DataFrame union): the optimizer folds unioned
+    # local relations into ONE partition, which would vacuously pass
+    rdds = [sc.parallelize(
+                [( _json.dumps({"id": i * 10 + j, "e": v}),)
+                 for j, v in enumerate(vals)], 1)
+            for i, vals in enumerate(parts)]
+    df = spark.createDataFrame(sc.union(rdds), "content string")
+    assert df.rdd.getNumPartitions() == 3
+
+    res = infer_json_column(df, "content", ctx)
+    sch = res.schema(ctx)
+    assert sorted(sch["properties"]["e"]["enum"]) == ["p", "q", "r", "s"]
+    assert res.n_ok == 5 and res.n_err == 0
