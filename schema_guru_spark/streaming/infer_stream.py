@@ -136,9 +136,27 @@ def keyed_schema_stream(stream_df: DataFrame, column: str, key_col: str,
     (key, schema, n_ok, n_err) updated each batch. State per key is the
     serialized micro-schema monoid state — bounded by schema complexity,
     not stream length.
+
+    Enum-bearing contexts are rejected loudly: a group's rows reach the
+    state function in shuffle order, and the reference's enum merge is
+    order-sensitive (concat-size before distinct), so per-key enums
+    would depend on the scheduler. Batch inference handles enum
+    contexts with a partition-ordered fold (operators/infer.py:
+    _enum_order_sensitive); a stream has no analogous input order to
+    pin within a micro-batch group. ``run_incremental_inference`` stays
+    enum-capable: each micro-batch runs the (deterministic) batch
+    engine and the cumulative fold is sequential in batch order.
     """
-    from schema_guru_spark.operators.infer import _require_commutative
+    from schema_guru_spark.operators.infer import (_enum_order_sensitive,
+                                                   _require_commutative)
     _require_commutative(ctx)
+    if _enum_order_sensitive(ctx):
+        raise ValueError(
+            "keyed_schema_stream requires an enum-free context: the "
+            "enum merge is order-sensitive (SchemaWithEnum.scala:57-70) "
+            "and rows reach the state function in shuffle order; use "
+            "run_incremental_inference for enum-bearing streaming "
+            "inference, or SchemaContext.make(0)")
     return (stream_df
             .select(F.col(key_col).alias("key"), F.col(column))
             .groupBy("key")

@@ -320,3 +320,21 @@ def test_streaming_curation_stateless_without_bench(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM curation_nobench").collect()
     assert len(rows) == 1 and rows[0]["contaminated"] is False
+
+
+def test_keyed_schema_stream_rejects_enum_context(spark):
+    """Enum merges are order-sensitive and a streaming group has no
+    input order to pin — the keyed stateful path must refuse loudly
+    (run_incremental_inference remains the enum-capable streaming
+    route)."""
+    import pytest as _pytest
+
+    from schema_guru_spark.core.context import SchemaContext
+    from schema_guru_spark.streaming.infer_stream import keyed_schema_stream
+
+    df = (spark.readStream.format("rate").load()
+          .selectExpr("cast(value as string) as segment",
+                      "'{}' as content"))
+    with _pytest.raises(ValueError, match="enum-free"):
+        keyed_schema_stream(df, "content", "segment",
+                            SchemaContext.make(3))
