@@ -105,14 +105,26 @@ def q_segment_props(spark, sf):
     return S.segment_counts(_t(spark, sf, "events"), "props", "$.k")
 
 
+# ts is TIMESTAMP_NTZ; DuckDB's epoch(naive ts) is UTC-naive. NTZ
+# interval arithmetic gives the same number WITHOUT reading (or
+# mutating) the session timezone, so the query fn stays pure.
+# FLOOR semantics, not the interval cast's truncation: for a pre-1970
+# fractional-second ts the oracle's floor(epoch(ts)) is -1 where
+# CAST(interval AS BIGINT) rounds toward zero to 0. Exact integer
+# micros, then pmod-based floor division (pmod >= 0, the subtraction
+# leaves an exact multiple of 1e6, so the double division is exact).
+EPOCH_NTZ_SQL = (
+    "CAST((timestampdiff(MICROSECOND,"
+    " TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    " - pmod(timestampdiff(MICROSECOND,"
+    " TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}), 1000000))"
+    " / 1000000 AS BIGINT)")
+
+
 def q_latest_event_per_user(spark, sf):
     out = S.group_with_latest(_t(spark, sf, "events"), ["user_id"],
                               ["ts", "event_id"])
-    # ts is TIMESTAMP_NTZ; DuckDB's epoch(naive ts) is UTC-naive. NTZ
-    # interval arithmetic gives the same number WITHOUT reading (or
-    # mutating) the session timezone, so the query fn stays pure.
-    epoch = F.expr(
-        "CAST(ts - TIMESTAMP_NTZ '1970-01-01 00:00:00' AS BIGINT)")
+    epoch = F.expr(EPOCH_NTZ_SQL.format(col="ts"))
     return out.select("user_id", "event_id", "event_type",
                       epoch.alias("ts_epoch")) \
               .orderBy("user_id")

@@ -128,12 +128,27 @@ def _run_params(n_buckets: int, n_salts: int, max_err_rate: float,
     'whole table' covers, allowed_langs changes what counts as a
     violation, max_err_rate changes each delta's recorded verdicts. All
     are pinned in table_state.json on the first commit; later runs must
-    match (ADVICE r04)."""
+    match (ADVICE r04).
+
+    The dict is compared against a JSON-round-tripped prior, so every
+    value must be in JSON-canonical form already: collection-valued
+    partition_filter entries (the read path accepts list/tuple/set
+    alike) become sorted lists — otherwise a tuple filter would
+    spuriously mismatch its own saved list form on the second run, and
+    a set would crash json.dump after the validation scan had already
+    been paid for."""
+    canon_filter = None
+    if partition_filter is not None:
+        canon_filter = {
+            k: (sorted(v, key=repr)
+                if isinstance(v, (list, tuple, set, frozenset)) else v)
+            for k, v in partition_filter.items()
+        }
     return {
         "n_buckets": n_buckets, "n_salts": n_salts,
         "max_err_rate": max_err_rate,
         "allowed_langs": sorted(allowed_langs),
-        "partition_filter": partition_filter,
+        "partition_filter": canon_filter,
     }
 
 

@@ -159,7 +159,10 @@ def _select_snapshot(meta: dict, snapshot_id: Optional[int]) -> dict:
 
 
 def _identity_fields(meta: dict, spec_id: int) -> dict[str, str]:
-    """partition-struct field name -> source column name, identity only."""
+    """partition-struct field name -> source column name, identity
+    only. A field whose source column was later DROPPED from the
+    current schema is skipped: it can't be named by a current-schema
+    filter, and pruning treats unknown fields as non-prunable."""
     cols = {f["id"]: f["name"]
             for sch in meta["schemas"] if sch["schema-id"] ==
             meta["current-schema-id"]
@@ -168,7 +171,8 @@ def _identity_fields(meta: dict, spec_id: int) -> dict[str, str]:
         if spec["spec-id"] == spec_id:
             return {f["name"]: cols[f["source-id"]]
                     for f in spec["fields"]
-                    if f["transform"] == "identity"}
+                    if f["transform"] == "identity"
+                    and f["source-id"] in cols}
     raise LookupError(f"partition spec {spec_id} not in metadata")
 
 
@@ -176,7 +180,10 @@ def _spec_fields(meta: dict, spec_id: int) -> list[dict]:
     """Every partition field of a spec (any transform):
     [{name, source, source_type, transform}], source names/types from
     the CURRENT schema so callers filter by today's column names even
-    across renames (field ids are the stable key)."""
+    across renames (field ids are the stable key). Fields whose source
+    column was dropped from the current schema are skipped — no
+    current-schema filter can reference them, and a missing field only
+    ever means 'don't prune on it', never an error."""
     cols = {f["id"]: (f["name"], f["type"])
             for sch in meta["schemas"] if sch["schema-id"] ==
             meta["current-schema-id"]
@@ -187,7 +194,8 @@ def _spec_fields(meta: dict, spec_id: int) -> list[dict]:
                      "source": cols[f["source-id"]][0],
                      "source_type": cols[f["source-id"]][1],
                      "transform": f["transform"]}
-                    for f in spec["fields"]]
+                    for f in spec["fields"]
+                    if f["source-id"] in cols]
     raise LookupError(f"partition spec {spec_id} not in metadata")
 
 
@@ -310,17 +318,6 @@ def _time_transform(transform: str, value: Any, ice_type: str) -> int:
     raise NotImplementedError(f"{transform} over {ice_type}")
 
 
-def _partition_keeps(part: dict[str, Any],
-                     partition_filter: Optional[dict[str, Any]]) -> bool:
-    for col, want in (partition_filter or {}).items():
-        if col not in part:
-            continue  # not prunable via this spec
-        allowed = want if isinstance(want, (list, tuple, set)) else [want]
-        if part[col] not in allowed:
-            return False
-    return True
-
-
 def _partition_keeps_spec(raw_part: dict[str, Any], fields: list[dict],
                           partition_filter: Optional[dict[str, Any]],
                           ) -> bool:
@@ -328,7 +325,11 @@ def _partition_keeps_spec(raw_part: dict[str, Any], fields: list[dict],
     field derived from a filtered source column carries a value outside
     the transform image of the allowed set. Unknown transforms/types
     (NotImplementedError) and void make the field non-prunable — kept,
-    never dropped (pruning must only ever be a subset of a full scan)."""
+    never dropped (pruning must only ever be a subset of a full scan).
+    The same applies to a filter value the transform can't digest
+    (ValueError/TypeError — e.g. an ISO date string against a
+    bucket[N] int field): the field is simply not prunable by that
+    value; Spark's residual predicate still filters the rows."""
     if not partition_filter:
         return True
     for f in fields:
@@ -342,7 +343,7 @@ def _partition_keeps_spec(raw_part: dict[str, Any], fields: list[dict],
         try:
             image = {transform_value(f["transform"], v, f["source_type"])
                      for v in allowed}
-        except NotImplementedError:
+        except (NotImplementedError, ValueError, TypeError):
             continue
         if raw_part[f["name"]] not in image:
             return False
@@ -377,9 +378,20 @@ def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
     _, manifests = read_ocf(_strip_file_uri(snap["manifest-list"]))
     data: list[DataFile] = []
     deletes: list[DeleteFile] = []
+    # per-spec lookups hoisted out of the manifest loop: thousands of
+    # manifests typically share one or two spec ids, and rebuilding the
+    # current-schema column map per manifest is O(manifests x schema)
+    # on the metadata-planning hot path
+    spec_cache: dict[int, tuple[dict, list]] = {}
+
+    def _spec(spec_id: int) -> tuple[dict, list]:
+        if spec_id not in spec_cache:
+            spec_cache[spec_id] = (_identity_fields(meta, spec_id),
+                                   _spec_fields(meta, spec_id))
+        return spec_cache[spec_id]
+
     for mf in manifests:
-        ident = _identity_fields(meta, mf["partition_spec_id"])
-        fields = _spec_fields(meta, mf["partition_spec_id"])
+        ident, fields = _spec(mf["partition_spec_id"])
         _, entries = read_ocf(_strip_file_uri(mf["manifest_path"]))
         for e in entries:
             if e["status"] == 2:  # DELETED
@@ -392,9 +404,10 @@ def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
                 seq = mf.get("sequence_number", 0)
             part = {ident[k]: v for k, v in df["partition"].items()
                     if k in ident}
-            if not _partition_keeps(part, partition_filter) or \
-                    not _partition_keeps_spec(df["partition"], fields,
-                                              partition_filter):
+            # _partition_keeps_spec subsumes the identity-only check:
+            # transform_value('identity', v) is exact pass-through
+            if not _partition_keeps_spec(df["partition"], fields,
+                                         partition_filter):
                 continue
             content = df.get("content", 0)
             added_by = e.get("snapshot_id")
@@ -536,6 +549,14 @@ def plan_incremental(table_path: str, from_snapshot_id: int,
         return ScanPlan([], [])
     window = _ancestors_between(meta, from_snapshot_id, to_snapshot_id)
     data: list[DataFile] = []
+    spec_cache: dict[int, tuple[dict, list]] = {}
+
+    def _spec(spec_id: int) -> tuple[dict, list]:
+        if spec_id not in spec_cache:
+            spec_cache[spec_id] = (_identity_fields(meta, spec_id),
+                                   _spec_fields(meta, spec_id))
+        return spec_cache[spec_id]
+
     for snap in window:
         op = (snap.get("summary") or {}).get("operation", "append")
         if op != "append":
@@ -553,8 +574,7 @@ def plan_incremental(table_path: str, from_snapshot_id: int,
                     f"snapshot {snap['snapshot-id']} summary says "
                     "'append' but added a delete manifest — corrupt "
                     "or mislabeled metadata; full scan required")
-            ident = _identity_fields(meta, mf["partition_spec_id"])
-            fields = _spec_fields(meta, mf["partition_spec_id"])
+            ident, fields = _spec(mf["partition_spec_id"])
             _, entries = read_ocf(_strip_file_uri(mf["manifest_path"]))
             for e in entries:
                 if e["status"] != 1:  # only ADDED entries
@@ -572,9 +592,10 @@ def plan_incremental(table_path: str, from_snapshot_id: int,
                     seq = mf.get("sequence_number", 0)
                 part = {ident[k]: v for k, v in df["partition"].items()
                         if k in ident}
-                if not _partition_keeps(part, partition_filter) or \
-                        not _partition_keeps_spec(df["partition"], fields,
-                                                  partition_filter):
+                # identity pruning is the identity branch of
+                # _partition_keeps_spec — one call covers all transforms
+                if not _partition_keeps_spec(df["partition"], fields,
+                                             partition_filter):
                     continue
                 data.append(DataFile(
                     path=_strip_file_uri(df["file_path"]),
@@ -891,7 +912,13 @@ _ICE_TO_AVRO = {"string": "string", "long": "long", "int": "int",
                 # day-transform partition values (days from epoch);
                 # plain int on the wire, the logical type is implied by
                 # the spec's transform result-type table
-                "date": "int"}
+                "date": "int",
+                # identity-partitioning by a time(stamp) column stores
+                # the micros-from-epoch long in the partition struct
+                # (spec Avro mapping: long wire type; the logical type
+                # annotation is informational)
+                "timestamp": "long", "timestamptz": "long",
+                "time": "long"}
 
 
 def _manifest_entry_schema(partition_fields: list[dict],

@@ -666,3 +666,82 @@ def test_truncate_collision_residual_filter(tmp_path, spark):
     assert got.count() == 10
     assert {r["lang"] for r in got.select("lang").distinct().collect()} \
         == {"scala"}
+
+
+def test_filter_value_transform_mismatch_keeps_not_crashes(tmp_path):
+    """A filter value the transform can't digest (ISO string against a
+    bucket[N] int field) must make the field NON-PRUNABLE — identical
+    contract to unknown transforms — never crash the scan plan. The
+    same string against a day-transform field works, so before the
+    (ValueError, TypeError) catch the fallback was asymmetric."""
+    from schema_guru_spark.sources.iceberg_meta import (
+        _partition_keeps_spec, plan_scan)
+    fields = [{"name": "ts_bucket", "source": "ts",
+               "source_type": "int", "transform": "bucket[16]"}]
+    # int("2017-11-16T22:31:08") raises ValueError inside _bucket_hash
+    assert _partition_keeps_spec({"ts_bucket": 3}, fields,
+                                 {"ts": "2017-11-16T22:31:08"})
+    # end-to-end on an INT-bucketed table: a string filter value the
+    # transform can't digest returns the FULL plan (kept), while a
+    # digestible value still prunes
+    tp = str(tmp_path / "ib")
+    rows = [{"repo": f"r{i}", "shard": i % 8,
+             "content": json.dumps({"i": i})} for i in range(32)]
+    schema = [("repo", "string"), ("shard", "int"),
+              ("content", "string")]
+    append_snapshot(tp, rows, schema, partition_by="shard:bucket[4]")
+    full = plan_scan(tp)
+    kept = plan_scan(tp, partition_filter={"shard": "not-an-int"})
+    assert len(kept.data) == len(full.data)
+    pruned = plan_scan(tp, partition_filter={"shard": 3})
+    assert 0 < len(pruned.data) < len(full.data)
+
+
+def test_dropped_partition_source_column_is_skipped():
+    """A partition spec whose source column was dropped from the
+    current schema must plan as non-prunable, not KeyError: the old
+    identity-only lookup ignored non-identity fields entirely, so
+    tables like this planned fine before transform-aware pruning."""
+    from schema_guru_spark.sources.iceberg_meta import (_identity_fields,
+                                                        _spec_fields)
+    meta = {
+        "current-schema-id": 1,
+        "schemas": [
+            {"schema-id": 0, "fields": [
+                {"id": 1, "name": "repo", "type": "string"},
+                {"id": 2, "name": "shard", "type": "int"}]},
+            # schema 1 DROPPED column id 2
+            {"schema-id": 1, "fields": [
+                {"id": 1, "name": "repo", "type": "string"}]},
+        ],
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "shard_bucket", "transform": "bucket[4]",
+             "source-id": 2, "field-id": 1000},
+            {"name": "repo", "transform": "identity",
+             "source-id": 1, "field-id": 1001},
+        ]}],
+    }
+    fields = _spec_fields(meta, 0)
+    assert [f["source"] for f in fields] == ["repo"]
+    assert _identity_fields(meta, 0) == {"repo": "repo"}
+
+
+def test_identity_timestamp_partition_roundtrip(tmp_path, spark):
+    """Identity-partitioning by a timestamp column: the same commit
+    that taught the writer timestamp COLUMNS must also write the
+    partition-struct Avro field (timestamp -> long micros)."""
+    from schema_guru_spark.sources.iceberg_meta import (plan_scan,
+                                                        read_iceberg)
+    tp = str(tmp_path / "ts_table")
+    day = 86_400_000_000  # micros
+    rows = [{"repo": f"r{i}", "ts": (i % 3) * day,
+             "content": json.dumps({"i": i})} for i in range(12)]
+    schema = [("repo", "string"), ("ts", "timestamp"),
+              ("content", "string")]
+    append_snapshot(tp, rows, schema, partition_by="ts")
+    full = plan_scan(tp)
+    assert len(full.data) == 3  # one file per distinct ts value
+    pruned = plan_scan(tp, partition_filter={"ts": day})
+    assert len(pruned.data) == 1
+    assert read_iceberg(spark, tp, partition_filter={"ts": day}) \
+        .count() == 4

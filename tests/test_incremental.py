@@ -414,3 +414,41 @@ def test_incremental_rejects_changed_parameters(spark, tmp_path):
     r = _run(spark, tp, ckpt)
     assert r["mode"] == "incremental"
     assert r["cumulative"]["rows"] == 20
+
+
+def test_params_pin_canonicalizes_collection_filters(spark, tmp_path):
+    """The params guard compares in-memory params against a
+    JSON-round-tripped prior: tuple- and set-valued partition_filter
+    entries must canonicalize to sorted lists, or an identical second
+    run spuriously fails the pin (tuple != its saved list form) and a
+    set crashes json.dump AFTER the validation scan already ran."""
+    from schema_guru_spark.plans.incremental import (_run_params,
+                                                     incremental_validate)
+    import json as _json
+    p = _run_params(8, 4, 0.02, ("json",),
+                    {"lang": ("json", "py"), "repo": {"r1", "r0"}})
+    assert p == _json.loads(_json.dumps(p))  # JSON-stable
+    assert p["partition_filter"] == {"lang": ["json", "py"],
+                                     "repo": ["r0", "r1"]}
+
+    tp = str(tmp_path / "repos")
+    ckpt = str(tmp_path / "ckpt")
+    append_snapshot(tp, _vrows(10, "c1"), SCHEMA, partition_by="lang")
+    kw = dict(n_buckets=N_BUCKETS, allowed_langs=("json",),
+              partition_filter={"lang": ("json", "py")})
+    r1 = incremental_validate(spark, tp, ckpt, **kw)
+    assert r1["mode"] == "baseline"
+    append_snapshot(tp, _vrows(10, "c2", start=10), SCHEMA,
+                    partition_by="lang")
+    # identical tuple filter on the second run: must NOT raise; a list
+    # spelling of the same filter is the same parameters too
+    r2 = incremental_validate(
+        spark, tp, ckpt, n_buckets=N_BUCKETS, allowed_langs=("json",),
+        partition_filter={"lang": ["py", "json"]})
+    assert r2["mode"] == "incremental"
+    # a genuinely different filter still trips the guard
+    with pytest.raises(ValueError, match="partition_filter"):
+        incremental_validate(
+            spark, tp, ckpt, n_buckets=N_BUCKETS,
+            allowed_langs=("json",),
+            partition_filter={"lang": ("json",)})

@@ -179,3 +179,30 @@ def test_embeddings_fixture_sits_outside_sign_lsh_gap(ddb):
         f"natural max pair cosine {max_nat:.3f} encroaches on the 0.9 "
         "near-dup threshold — regenerate embeddings with a wider gap or "
         "raise the planted-pair similarity")
+
+
+def test_epoch_ntz_floor_matches_duckdb_for_pre_1970(spark, ddb):
+    """EPOCH_NTZ_SQL must FLOOR like DuckDB's floor(epoch(ts)), not
+    truncate toward zero like CAST(interval AS BIGINT): for
+    1969-12-31 23:59:59.5 the oracle says -1, the interval cast says
+    0. Pinned on both sides so a future events fixture with pre-epoch
+    fractional-second timestamps can't silently diverge."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    df = spark.sql(
+        "SELECT ts FROM VALUES"
+        " (TIMESTAMP_NTZ '1969-12-31 23:59:59.5'),"
+        " (TIMESTAMP_NTZ '1970-01-01 00:00:00'),"
+        " (TIMESTAMP_NTZ '1970-01-01 00:00:00.5'),"
+        " (TIMESTAMP_NTZ '2024-02-29 12:00:00.25') AS t(ts)")
+    got = [r[0] for r in
+           df.select(F.expr(entry.EPOCH_NTZ_SQL.format(col="ts")))
+             .collect()]
+    want = [r[0] for r in ddb.execute(
+        "SELECT floor(epoch(ts))::BIGINT FROM (VALUES"
+        " (TIMESTAMP '1969-12-31 23:59:59.5'),"
+        " (TIMESTAMP '1970-01-01 00:00:00'),"
+        " (TIMESTAMP '1970-01-01 00:00:00.5'),"
+        " (TIMESTAMP '2024-02-29 12:00:00.25')) AS t(ts)").fetchall()]
+    assert got == want == [-1, 0, 0, 1709208000]
