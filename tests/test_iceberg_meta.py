@@ -745,3 +745,85 @@ def test_identity_timestamp_partition_roundtrip(tmp_path, spark):
     assert len(pruned.data) == 1
     assert read_iceberg(spark, tp, partition_filter={"ts": day}) \
         .count() == 4
+
+
+# ------------------------------------------------ pruning law (fuzz)
+
+def test_partition_pruning_law_property(tmp_path):
+    """THE pruning law, fuzzed: for any table layout, partition
+    transform, and filter (digestible or not), every row the predicate
+    keeps must live in a file the pruned plan kept. Pruning may
+    over-include (the residual predicate owns exactness) but may never
+    under-include — checked by counting predicate-matching rows file
+    by file with pyarrow, no Spark session needed."""
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings, strategies as st
+    from schema_guru_spark.sources.iceberg_meta import plan_scan
+
+    cases = st.tuples(
+        st.sampled_from([
+            ("repo", "string", "identity"),
+            ("repo", "string", "bucket[4]"),
+            ("repo", "string", "truncate[2]"),
+            ("shard", "int", "identity"),
+            ("shard", "int", "bucket[4]"),
+            ("shard", "int", "truncate[8]"),
+            ("shard", "long", "bucket[16]"),
+        ]),
+        st.integers(2, 6),        # distinct partition-source values
+        st.integers(8, 40),       # rows
+        st.integers(1, 3),        # snapshots
+        st.lists(st.integers(0, 9), min_size=1, max_size=4),  # filter picks
+        st.booleans(),            # include a non-digestible filter value
+        st.randoms(use_true_random=False),
+    )
+
+    counter = [0]
+
+    @settings(max_examples=25, deadline=None)
+    @given(cases)
+    def law(case):
+        (col, ice_type, transform), nvals, nrows, nsnaps, picks, \
+            add_bad, rnd = case
+        counter[0] += 1
+        tp = str(tmp_path / f"t{counter[0]}")
+        schema = [("repo", "string"), ("shard", "long" if ice_type ==
+                   "long" else "int"), ("content", "string")]
+        # patch the schema's declared type for the partition column
+        schema = [(n, ice_type if n == col else t) for n, t in schema]
+
+        def mkval(i):
+            return f"v{i}" if ice_type == "string" else i * 7 - 3
+
+        pool = [mkval(i) for i in range(nvals)]
+        per = max(1, nrows // nsnaps)
+        for s in range(nsnaps):
+            rows = [{"repo": f"r{i}" if col != "repo" else
+                     rnd.choice(pool),
+                     "shard": (i if col != "shard" else
+                               rnd.choice(pool)),
+                     "content": json.dumps({"i": i})}
+                    for i in range(per)]
+            pb = col if transform == "identity" else f"{col}:{transform}"
+            append_snapshot(tp, rows, schema, partition_by=pb)
+
+        allowed = sorted({pool[p % nvals] for p in picks}, key=repr)
+        filt = list(allowed)
+        if add_bad:
+            filt.append("not-an-int" if ice_type != "string"
+                        else ("un", "hashable"))
+        full = plan_scan(tp)
+        pruned = plan_scan(tp, partition_filter={col: filt})
+        kept = {f.path for f in pruned.data}
+        assert kept <= {f.path for f in full.data}
+
+        def matches(path):
+            t = pq.read_table(path, columns=[col])
+            return sum(1 for v in t.column(col).to_pylist()
+                       if v in allowed)
+
+        want = sum(matches(f.path) for f in full.data)
+        got = sum(matches(f.path) for f in pruned.data)
+        assert got == want, (transform, filt, kept)
+
+    law()
