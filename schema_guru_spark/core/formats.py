@@ -180,6 +180,18 @@ def detect_format_series(values):
         s.where(iso_shape & longish), errors="coerce", utc=True, format="ISO8601"
     )
     is_dt = parsed.notna() & longish
+    # fromisoformat accepts ISO forms the fast regex doesn't (hour-only
+    # '2020-01-01T01', compact '...T010203', comma fractions) — route
+    # regex MISSES that still carry the date prefix through the scalar
+    # detector so the two surfaces stay exactly equivalent. Rare by
+    # construction: only date-prefixed strings that fail the common
+    # shape pay the per-element call.
+    exotic = longish & ~iso_shape & s.str.match(
+        r"^\d{4}-\d{2}-\d{2}[T ]", na=False)
+    if exotic.any():
+        extra = s[exotic].apply(
+            lambda x: suggest_time(x) == "date-time")
+        is_dt = is_dt | extra.reindex(s.index, fill_value=False)
     is_ip4 = s.str.match(IPV4_RE.pattern, na=False)
     is_ip6 = s.str.contains(":", na=False) & s.apply(
         lambda x: isinstance(x, str) and suggest_ip(x) == "ipv6"

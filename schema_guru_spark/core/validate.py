@@ -55,11 +55,20 @@ def validate(value: Any, schema: dict, path: str = "$") -> List[str]:
 
     if "enum" in schema and schema["enum"] is not None:
         keys = {enum_key(v) for v in schema["enum"]}
-        # ints satisfy double enum values per JSON equality (1 == 1.0)
-        if enum_key(value) not in keys and not (
-            isinstance(value, (int, float)) and not isinstance(value, bool)
-            and enum_key(float(value)) in keys
-        ):
+        # JSON Schema numeric equality is MATHEMATICAL (1 == 1.0), both
+        # ways: an int instance satisfies a float enum value AND an
+        # integral float instance satisfies an int enum value. Guard
+        # the float(value) widening for ints beyond float precision
+        # (2**53): is_integer() on the exact float path is still exact.
+        ok = enum_key(value) in keys
+        if not ok and isinstance(value, (int, float)) \
+                and not isinstance(value, bool):
+            if isinstance(value, int):
+                f = float(value)
+                ok = int(f) == value and enum_key(f) in keys
+            elif value.is_integer():
+                ok = enum_key(int(value)) in keys
+        if not ok:
             errors.append(f"{path}: value not in enum")
 
     if vt == "object" and "properties" in schema:

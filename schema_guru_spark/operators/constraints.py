@@ -57,7 +57,8 @@ def uniqueness_hll(df: DataFrame, keys: Sequence[str], rsd: float = 0.02,
 
 
 def uniqueness_hashed(df: DataFrame, keys: Sequence[str], rsd: float = 0.02,
-                      tolerance: float = 0.05) -> DataFrame:
+                      tolerance: float = 0.05,
+                      prehashed: bool = False) -> DataFrame:
     """Scale path for the uniqueness screen: pre-hash the key tuple to a
     128-bit pair of independently-seeded xxhash64 columns so the
     distinct aggregate shuffles 16 bytes/row instead of the raw key
@@ -71,13 +72,26 @@ def uniqueness_hashed(df: DataFrame, keys: Sequence[str], rsd: float = 0.02,
     two distinct keys must collide on BOTH halves to alias. Still a
     screen — confirmed by ``uniqueness_exact`` / ``duplicate_key_rows``
     when it fails — but one that stays quiet at full scale.
+
+    ``prehashed=True`` declares that ``keys`` ALREADY ARE the two
+    independently-seeded 64-bit hash columns (a caller that projects
+    them once and reuses the projection for several checks, e.g.
+    pipeline.constraint_report) — the distinct runs on them directly
+    instead of hashing the hashes a second time per row.
     """
     cols = [F.col(k) for k in keys]
-    # seed independence: xxhash64's seed feeds the initial accumulator,
-    # so distinct literal seeds give (empirically) independent 64-bit
-    # functions; seed column first => different first-lane mixing
-    h = F.struct(F.xxhash64(F.lit(0x5EED0), *cols).alias("h1"),
-                 F.xxhash64(F.lit(0x5EED1), *cols).alias("h2"))
+    if prehashed:
+        if len(keys) != 2:
+            raise ValueError("prehashed=True expects exactly the two "
+                             "64-bit hash columns")
+        h = F.struct(cols[0].alias("h1"), cols[1].alias("h2"))
+    else:
+        # seed independence: xxhash64's seed feeds the initial
+        # accumulator, so distinct literal seeds give (empirically)
+        # independent 64-bit functions; seed column first => different
+        # first-lane mixing
+        h = F.struct(F.xxhash64(F.lit(0x5EED0), *cols).alias("h1"),
+                     F.xxhash64(F.lit(0x5EED1), *cols).alias("h2"))
     # split aggregates — see uniqueness_hll for the Expand-plan trap
     exact = df.agg(F.count(F.lit(1)).alias("n_rows"),
                    F.count_distinct(h).alias("n_exact"))
@@ -348,12 +362,17 @@ def drift_psi_report(df: DataFrame, value_col: str, part_col: str,
         pt = sum(hist.values())
         s = 0.0
         for b, gn in glob.items():
-            # identical Laplace smoothing to the SQL path; bins absent
-            # from this partition contribute via the smoothed zero
-            pp = (hist.get(b, 0) + 0.5) / (pt + 0.5 * n_bins)
+            # identical Laplace smoothing to the SQL path, which inner-
+            # joins per-partition and global histograms — bins ABSENT
+            # from this partition are therefore SKIPPED, not smoothed in
+            # (drift_by_partition parity is the contract; an all-bins
+            # PSI would be a different, larger statistic)
+            n = hist.get(b)
+            if n is None:
+                continue
+            pp = (n + 0.5) / (pt + 0.5 * n_bins)
             pg = (gn + 0.5) / (gt + 0.5 * n_bins)
-            if hist.get(b) is not None:
-                s += (pp - pg) * math.log(pp / pg)
+            s += (pp - pg) * math.log(pp / pg)
         out[p] = round(s, 6)
     return out
 

@@ -459,7 +459,12 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(F.col(c), lambda x: x * x),
         F.lit(0.0), lambda acc, x: acc + x))
-    raw = dot / (norm("va") * norm("vb"))
+    # zero vectors collide in EVERY band (all sign bits 0) and would
+    # reach the verify with 0/0 = NaN, which Spark orders ABOVE all
+    # doubles — NaN >= threshold silently passes. Cosine with a zero
+    # vector is undefined; define it as 0 so such pairs are excluded.
+    den = norm("va") * norm("vb")
+    raw = F.when(den > F.lit(0.0), dot / den).otherwise(F.lit(0.0))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
         .where(raw >= threshold)   # raw-ratio threshold; round for display

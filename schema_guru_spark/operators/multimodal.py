@@ -453,12 +453,21 @@ def decode_and_featurize(df: DataFrame, media_col: str = "media",
                 w, h = int(meta["width"]), int(meta["height"])
                 img = _decode(data, w, h)
                 h, w = img.shape[:2]   # decoded dims win (PNG: from IHDR)
-                # resize: block-mean to resize_to x resize_to (vectorized)
+                # resize: block-mean to resize_to x resize_to. For an
+                # image SMALLER than the grid, linspace repeats edges
+                # and the empty slice's mean is NaN (int(NaN) raises) —
+                # clamp every cell to at least one source pixel, which
+                # replicates pixels exactly like nearest-neighbor
+                # upscaling would.
                 ys = np.linspace(0, h, resize_to + 1).astype(int)
                 xs = np.linspace(0, w, resize_to + 1).astype(int)
+                ylo = np.minimum(ys[:-1], h - 1)
+                xlo = np.minimum(xs[:-1], w - 1)
+                yhi = np.maximum(ys[1:], ylo + 1)
+                xhi = np.maximum(xs[1:], xlo + 1)
                 gray = img.mean(axis=2)
                 thumb = [
-                    int(gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean())
+                    int(gray[ylo[i]:yhi[i], xlo[j]:xhi[j]].mean())
                     for i in range(resize_to) for j in range(resize_to)
                 ]
                 rows.append((int(rid), w, h,

@@ -4,7 +4,9 @@ Over an Iceberg/parquet table (repo, path, commit, lang, content
 [, content_sha]) the job produces, resumably:
 
   verdicts:   one row per bucket — counters, merged JSON schema of the
-              bucket's JSON content, drift PSI, pass/fail
+              bucket's JSON content, pass/fail (distribution drift is
+              the constraint suite's job: ``constraint_report`` computes
+              per-bucket PSI over the same bucket ids)
   violations: rows keyed (repo, lang, bucket, kind, detail) — parse
               errors, sha256 invariant mismatches, disallowed langs
               (from the scan pass); duplicate (repo,path,commit) keys
@@ -221,8 +223,7 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
                 codes, uniques = pd.factorize(content, use_na_sentinel=True)
                 u_width = len(uniques) + 1
                 fused = jbk.astype(np.int64) * u_width + (codes + 1)
-                ukey, first_idx, kcounts = np.unique(
-                    fused, return_index=True, return_counts=True)
+                ukey, kcounts = np.unique(fused, return_counts=True)
                 parsed: list = []
                 parse_err: list = []
                 for text in uniques:
@@ -232,35 +233,26 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
                     except (ValueError, TypeError) as e:
                         parsed.append(None)
                         parse_err.append(f"invalid JSON: {e}")
-                errs: list[tuple] = []
-                jrepo = None  # repo attribution is error-only: stay lazy
+                err_keys: dict[int, str] = {}
                 # per-bucket doc batches: the fold runs once per
                 # (bucket, batch) as a columnar pass (accumulate_batch:
                 # fold == sequential accumulate, law-pinned); a doc with
                 # multiplicity n >= 2 enters twice (one self-merge
                 # stabilizes the monoid — test_merge_self_stabilizes)
                 bucket_docs: dict[int, list] = {}
-                for key, fi, cnt in zip(ukey.tolist(), first_idx.tolist(),
-                                        kcounts.tolist()):
+                for key, cnt in zip(ukey.tolist(), kcounts.tolist()):
                     b = key // u_width
                     code = key % u_width - 1
                     c = bucket_counter(b)
                     if code < 0 or parse_err[code] is not None:
-                        msg = ("null content" if code < 0
-                               else parse_err[code])
                         c["n_json_err"] += cnt
-                        if jrepo is None:
-                            jrepo = pdf["repo"].to_numpy()[jidx]
-                        errs.extend([(b, jrepo[fi], "json", msg)] * cnt)
+                        err_keys[key] = ("null content" if code < 0
+                                         else parse_err[code])
                         continue
                     value = parsed[code]
                     if not isinstance(value, (dict, list)):
                         c["n_json_err"] += cnt
-                        if jrepo is None:
-                            jrepo = pdf["repo"].to_numpy()[jidx]
-                        errs.extend(
-                            [(b, jrepo[fi], "json",
-                              gate_error_message(value))] * cnt)
+                        err_keys[key] = gate_error_message(value)
                         continue
                     docs = bucket_docs.get(b)
                     if docs is None:
@@ -274,7 +266,19 @@ def _scan_pass(ctx: SchemaContext, max_violation_examples: int):
                     if st is None:
                         st = states[b] = {}
                     fold_docs(st, docs, ctx)
-                if errs:
+                if err_keys:
+                    # one row PER OCCURRENCE, each under its own row's
+                    # repo — the first-occurrence shortcut misattributed
+                    # copies of the same bad text living in other repos
+                    # of the same bucket. One vectorized membership test
+                    # over the batch; repo attribution stays error-only.
+                    jrepo = pdf["repo"].to_numpy()[jidx]
+                    karr = np.fromiter(err_keys, dtype=np.int64,
+                                       count=len(err_keys))
+                    occ = np.flatnonzero(np.isin(fused, karr))
+                    errs = [(int(fused[i]) // u_width, jrepo[i], "json",
+                             err_keys[int(fused[i])])
+                            for i in occ.tolist()]
                     e = pd.DataFrame(errs, columns=["bucket", "repo", "lang",
                                                     "payload"])
                     e.insert(0, "kind", "violation")
@@ -361,7 +365,6 @@ def validate_repo_table(
     n_salts: int = 8,
     chunk_size: Optional[int] = None,
     allowed_langs: Sequence[str] = DEFAULT_LANGS,
-    psi_threshold: float = 0.25,
     max_violation_examples: int = 1000,
     max_err_rate: float = 0.0,
     keep_state: bool = False,
@@ -372,8 +375,21 @@ def validate_repo_table(
     sinks when enabled, so a resumed run sees prior chunks' results too).
     """
     ctx = ctx or SchemaContext.make(0)
-    from schema_guru_spark.operators.infer import _require_commutative
+    from schema_guru_spark.operators.infer import (_enum_order_sensitive,
+                                                   _require_commutative)
     _require_commutative(ctx)  # strict parity mode is order-dependent
+    if _enum_order_sensitive(ctx):
+        # the enum merge is order-sensitive and _combine_buckets folds
+        # state rows in shuffle-arrival order (no partition id to sort
+        # by in _SCAN_OUT) — verdict schemas would depend on the
+        # scheduler. Same guard as the keyed schema stream; enum-capable
+        # inference belongs to operators.infer (partition-order fold).
+        raise ValueError(
+            "validate_repo_table requires an enum-free context "
+            "(enum_cardinality=0, no enum_sets): the reference's enum "
+            "merge is non-commutative and the bucket combine has no "
+            "deterministic fold order. Use infer_schema / "
+            "infer_schemas_by_key for enum-capable inference.")
     has_sha = "content_sha" in df.columns
 
     ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
@@ -559,9 +575,12 @@ def constraint_report(spark: SparkSession, df: DataFrame,
         # handles concurrent jobs from one session natively)
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=4) as ex:
-            # hashed screen: 16-byte shuffle rows, not raw key strings
+            # hashed screen: 16-byte shuffle rows, not raw key strings;
+            # kh1/kh2 are already the seeded hash pair — don't hash the
+            # hashes a second time per row
             f_uniq = ex.submit(
-                lambda: C.uniqueness_hashed(slim, ["kh1", "kh2"]).collect()[0])
+                lambda: C.uniqueness_hashed(slim, ["kh1", "kh2"],
+                                            prehashed=True).collect()[0])
             # referential integrity: broadcast LEFT ANTI, facts never
             # shuffled
             f_ri = ex.submit(
@@ -626,9 +645,17 @@ def key_violation_rows(df: DataFrame, repo_dims: Optional[DataFrame] = None,
     at ``max_examples`` per kind — violation EXAMPLES for humans; the
     full counts live in constraint_report.
     """
+    # group by EXACTLY the uniqueness key (repo, path, commit) — the
+    # same tuple constraint_report's screen hashes. lang is reported as
+    # an example attribute (min = deterministic pick), NOT part of the
+    # key: two rows sharing the key but differing in lang ARE a
+    # duplicate and must surface here, or the sink would contradict a
+    # keys_unique=False verdict. bucket = f(repo, path) is constant
+    # within a key group, so grouping by it adds no key semantics.
     dup = (df.withColumn("bucket", bucket_expr(n_buckets, n_salts))
-             .groupBy("repo", "path", "commit", "lang", "bucket")
-             .agg(F.count(F.lit(1)).alias("n"))
+             .groupBy("repo", "path", "commit", "bucket")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("lang").alias("lang"))
              .where(F.col("n") > 1)
              .limit(max_examples)
              .select("bucket", "repo", "lang",

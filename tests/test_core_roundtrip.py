@@ -316,3 +316,37 @@ def test_fmt_survives_equals_chain(fmt, vals):
     from schema_guru_spark.core.formats import suggest_format
     want = all(suggest_format(v) == fmt for v in vals)
     assert _fmt_survives(fmt, vals) is want, (fmt, vals)
+
+
+def test_enum_numeric_equality_is_symmetric():
+    """JSON Schema numeric equality is mathematical (1 == 1.0), BOTH
+    directions: an int instance satisfies a float enum value and an
+    integral float instance satisfies an int enum value. Big ints
+    beyond float precision must not alias through the widening."""
+    from schema_guru_spark.core.validate import validate
+
+    assert validate(1, {"type": "number", "enum": [1.0]}) == []
+    assert validate(1.0, {"type": "number", "enum": [1]}) == []
+    assert validate(1.5, {"type": "number", "enum": [1]}) != []
+    big = 2**53 + 1          # float(big) rounds to 2**53
+    assert validate(big, {"type": "integer", "enum": [float(2**53)]}) \
+        != []                # must NOT alias via lossy widening
+    assert validate(float(2**53), {"type": "number",
+                                   "enum": [2**53]}) == []
+
+
+def test_detect_format_series_matches_scalar_on_exotic_iso():
+    """detect_format_series claims 'same precedence as suggest_format';
+    fromisoformat accepts hour-only, compact-time and comma-fraction
+    ISO forms the fast regex rejects — the fallback must route them
+    through the scalar detector so the two surfaces agree."""
+    import pandas as pd
+
+    from schema_guru_spark.core.formats import (detect_format_series,
+                                                suggest_format)
+    vals = ["2020-01-01T01", "2020-01-01 010203",
+            "2020-01-01T01:02:03,500", "2020-13-01T00:00",
+            "2020-01-01T01:02", "2020-01-01", "not a date",
+            "2fbe54a8-6e5f-4f0a-9d5c-6f2b1a3c4d5e"]
+    got = detect_format_series(pd.Series(vals)).tolist()
+    assert got == [suggest_format(v) for v in vals]

@@ -189,3 +189,21 @@ def test_simhash_fingerprint_range_and_determinism(neardup_df):
     fps2 = {r["id"]: r["fp"] for r in D.simhash_fingerprints(
         neardup_df.repartition(3), "id", "text").collect()}
     assert fps == fps2
+
+
+def test_embedding_zero_vectors_not_near_duplicates(spark):
+    """Zero vectors collide in every LSH band (all sign bits 0); the
+    cosine verify must exclude them (0/0 would be NaN, which Spark
+    orders ABOVE all doubles — NaN >= threshold silently passed)."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    v1 = rng.standard_normal(16)
+    df = spark.createDataFrame(
+        [(1, [0.0] * 16), (2, [0.0] * 16), (3, v1.tolist()),
+         (4, (v1 + rng.standard_normal(16) * 0.01).tolist())],
+        "id bigint, vec array<double>")
+    out = {(r["id_a"], r["id_b"])
+           for r in D.embedding_near_duplicates(df, "id", "vec",
+                                                threshold=0.98).collect()}
+    assert (1, 2) not in out          # zero-vector pair excluded
+    assert out == {(3, 4)}            # the real twin still found

@@ -554,3 +554,26 @@ def test_codec_fuzz_contract(seed, n_flips):
             decode(bytes(buf))
         except (ValueError, NotImplementedError):
             pass   # the contract
+
+
+def test_decode_image_smaller_than_thumb_grid(spark):
+    """A decoded image smaller than resize_to must thumb via pixel
+    replication, not crash: linspace repeats bin edges on tiny images
+    and the empty cell's mean is NaN (int(NaN) raised)."""
+    import numpy as np
+    from schema_guru_spark.operators.png import encode_png
+
+    img = (np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3))
+    data = encode_png(img)
+    df = spark.createDataFrame(
+        [(1, {"data": bytearray(data),
+              "meta": {"width": 4, "height": 4}})],
+        "id bigint, media struct<data binary, "
+        "meta struct<width int, height int>>")
+    row = MM.decode_and_featurize(df, resize_to=8).collect()[0]
+    assert (row["width"], row["height"]) == (4, 4)
+    assert len(row["thumb"]) == 64
+    gray = img.mean(axis=2)
+    # corner cells replicate the corner pixels exactly
+    assert row["thumb"][0] == int(gray[0, 0])
+    assert row["thumb"][-1] == int(gray[3, 3])

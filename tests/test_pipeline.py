@@ -551,3 +551,48 @@ def test_run_validation_empty_table_vacuous_pass(spark, tmp_path):
     assert out["rows"] == 0 and out["buckets"] == 0
     assert out["pass_rate"] == 1.0
     assert out["constraints"]["keys_unique"]
+
+
+def test_enum_context_rejected(spark, repo_df):
+    """The reference's enum merge is non-commutative and the bucket
+    combine folds state rows in shuffle-arrival order — enum-bearing
+    contexts would make verdict schemas scheduler-dependent, so the
+    job refuses them loudly (same guard as the keyed schema stream)."""
+    from schema_guru_spark.core.context import SchemaContext
+    with pytest.raises(ValueError, match="enum-free"):
+        validate_repo_table(spark, repo_df, n_buckets=N_BUCKETS,
+                            ctx=SchemaContext.make(4))
+
+
+def test_duplicate_key_rows_ignore_lang(spark):
+    """key_violation_rows groups by EXACTLY the uniqueness key
+    (repo, path, commit): two rows sharing the key but differing in
+    lang ARE a duplicate and must surface, or the violations sink
+    would contradict constraint_report's keys_unique=False."""
+    from schema_guru_spark.pipeline import key_violation_rows
+    rows = [("r1", "a.py", "c1", "py", "{}"),
+            ("r1", "a.py", "c1", "md", "{}"),   # same key, other lang
+            ("r2", "b.py", "c1", "py", "{}")]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    got = key_violation_rows(df).collect()
+    assert len(got) == 1
+    assert got[0]["repo"] == "r1" and "x2" in got[0]["detail"]
+    rep = constraint_report(spark, df, n_buckets=4, n_salts=2)
+    assert rep["keys_unique"] is False
+
+
+def test_error_rows_attributed_per_repo(spark):
+    """Copies of the same invalid text in DIFFERENT repos of one bucket
+    must each surface under their own repo — the unique-doc fast path
+    used to attribute every copy to the first occurrence's repo."""
+    bad = "{not json"
+    rows = [("rA", "a.py", "c1", "json", bad),
+            ("rB", "b.py", "c1", "json", bad)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string").coalesce(1)
+    res = validate_repo_table(spark, df, n_buckets=1, max_err_rate=1.0)
+    viol = res.violations.collect()
+    assert sorted(v["repo"] for v in viol) == ["rA", "rB"]

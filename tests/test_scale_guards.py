@@ -410,3 +410,22 @@ def test_exact_duplicates_cap_no_change_below_cap(spark):
     rows = D.exact_duplicates(df, "text", "id").collect()
     assert len(rows) == 1
     assert rows[0]["n"] == 4 and list(rows[0]["ids"]) == [0, 1, 2, 3]
+
+
+def test_uniqueness_hashed_prehashed_equivalence(spark):
+    """prehashed=True runs the distinct directly on the caller's
+    already-seeded hash pair (constraint_report projects kh1/kh2 once
+    for several checks) — identical verdict to hashing the raw keys,
+    without a second per-row hashing pass over hashes."""
+    df = spark.range(500).select(
+        F.concat(F.lit("k"), (F.col("id") % 400)).alias("k"))
+    pre = df.select(
+        F.xxhash64(F.lit(0x5EED0), "k").alias("kh1"),
+        F.xxhash64(F.lit(0x5EED1), "k").alias("kh2"))
+    a = C.uniqueness_hashed(df, ["k"]).collect()[0]
+    b = C.uniqueness_hashed(pre, ["kh1", "kh2"],
+                            prehashed=True).collect()[0]
+    assert (a["n_rows"], a["n_exact"]) == (b["n_rows"], b["n_exact"]) \
+        == (500, 400)
+    with pytest.raises(ValueError, match="exactly the two"):
+        C.uniqueness_hashed(pre, ["kh1"], prehashed=True)
