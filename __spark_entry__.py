@@ -1004,7 +1004,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
                    len(regexp_extract_all(text,
-                       '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phone,
+                       '(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phone,
                    len(regexp_extract_all(text,
                        '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
                    len(regexp_extract_all(text,
@@ -1100,7 +1100,7 @@ def oracle_sql() -> dict[str, str]:
                      len(list_intersect(words, ['el','la','los','y','es','un','una','de','en','por'])) AS h_es,
                      len(list_intersect(words, ['le','la','les','et','est','un','une','des','dans','pour'])) AS h_fr,
                      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-                     + len(regexp_extract_all(text, '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}'))
+                     + len(regexp_extract_all(text, '(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}'))
                      + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
                      + len(regexp_extract_all(text, '(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}'))
                        AS n_pii

@@ -45,14 +45,21 @@ def cross_product(xs: set, ys: set) -> set:
 
 
 def compare_sets(sch_keys: set, acc_keys: set) -> set:
-    """LevenshteinAnnotator.scala:96-114."""
+    """LevenshteinAnnotator.scala:96-114. Streams the pair space
+    instead of materializing ``cross_product`` first — K x K tuples in
+    one set is O(K²) driver memory before any distance filtering; the
+    inline loop keeps only the (rare) matches."""
     out = set()
-    for first, second in cross_product(sch_keys, acc_keys):
-        if first == second:
+    for first in sch_keys:
+        if len(first) <= THRESHOLD_LENGTH:
             continue
-        if calculate_distance(uniform_string(first),
-                              uniform_string(second)) <= THRESHOLD_DISTANCE:
-            out.add((first, second))
+        ufirst = uniform_string(first)
+        for second in acc_keys:
+            if len(second) <= THRESHOLD_LENGTH or first == second:
+                continue
+            if calculate_distance(ufirst, uniform_string(second)) \
+                    <= THRESHOLD_DISTANCE:
+                out.add((first, second))
     return out
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 import json
 import math
 from dataclasses import dataclass
-from typing import Iterator
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -84,11 +84,13 @@ def _derive_partial(ctx: SchemaContext, column: str):
     (order-preserving, C-speed) and each DISTINCT document is parsed and
     derived exactly once. A document seen n >= 2 times contributes
     ``s ⊕ s`` — the monoid stabilizes after one self-merge (bounds and
-    flags are idempotent; the enum concat-size check reaches its fixed
-    point on the second merge), so this is bit-identical to folding all
-    n copies (law pinned by test_merge_self_stabilizes). Real-world
-    JSON-bearing corpora are heavily duplicated, so this cuts the
-    per-doc Python work from O(rows) to O(distinct)."""
+    flags are idempotent), so this is bit-identical to folding all
+    n copies (law pinned by test_merge_self_stabilizes) — for ENUM-OFF
+    contexts. Enum-bearing contexts fold in row order instead: the
+    collapse reorders documents (first-appearance, duplicates adjacent)
+    and the enum merge is order-sensitive. Real-world JSON-bearing
+    corpora are heavily duplicated, so the collapse cuts the per-doc
+    Python work from O(rows) to O(distinct)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -99,39 +101,69 @@ def _derive_partial(ctx: SchemaContext, column: str):
 
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
+        enum_on = _enum_order_sensitive(ctx)
         acc: dict = {}  # task-private (accumulate mutates in place)
         n_ok = 0
         n_err = 0
         for pdf in batches:
             errs = []
             codes, uniques = pd.factorize(pdf[column], use_na_sentinel=True)
-            counts = np.bincount(codes[codes >= 0],
-                                 minlength=len(uniques)).tolist()
-            n_null = int((codes < 0).sum())
-            if n_null:
-                n_err += n_null
-                errs.extend(["null content"] * n_null)
-            # parse + top-level gate per distinct doc; the fold itself
-            # runs once per batch as a columnar pass (accumulate_batch:
-            # fold == sequential accumulate, law-pinned). A doc seen
-            # n >= 2 times enters the batch twice (monoid stabilizes
-            # after one self-merge — test_merge_self_stabilizes).
             valid: list = []
-            for text, cnt in zip(uniques, counts):
-                try:
-                    value = fast_loads(text)
-                except (ValueError, TypeError) as e:
-                    n_err += cnt
-                    errs.extend([f"invalid JSON: {e}"] * cnt)
-                    continue
-                if isinstance(value, (dict, list)):
-                    valid.append(value)
-                    if cnt > 1:
+            if enum_on:
+                # ROW-ORDER fold: the enum merge is order-sensitive, so
+                # the unique-doc collapse below (first-appearance order,
+                # duplicates made adjacent) would change inferred enums
+                # within the partition. Parse each distinct text once,
+                # but fold every row in its original position.
+                parsed: list = []
+                for text in uniques:
+                    try:
+                        parsed.append((fast_loads(text), None))
+                    except (ValueError, TypeError) as e:
+                        parsed.append((None, f"invalid JSON: {e}"))
+                for code in codes.tolist():
+                    if code < 0:
+                        n_err += 1
+                        errs.append("null content")
+                        continue
+                    value, msg = parsed[code]
+                    if msg is not None:
+                        n_err += 1
+                        errs.append(msg)
+                    elif isinstance(value, (dict, list)):
                         valid.append(value)
-                    n_ok += cnt
-                else:
-                    n_err += cnt
-                    errs.extend([gate_error_message(value)] * cnt)
+                        n_ok += 1
+                    else:
+                        n_err += 1
+                        errs.append(gate_error_message(value))
+            else:
+                counts = np.bincount(codes[codes >= 0],
+                                     minlength=len(uniques)).tolist()
+                n_null = int((codes < 0).sum())
+                if n_null:
+                    n_err += n_null
+                    errs.extend(["null content"] * n_null)
+                # parse + top-level gate per distinct doc; the fold
+                # itself runs once per batch as a columnar pass
+                # (accumulate_batch: fold == sequential accumulate,
+                # law-pinned). A doc seen n >= 2 times enters the batch
+                # twice (monoid stabilizes after one self-merge —
+                # test_merge_self_stabilizes).
+                for text, cnt in zip(uniques, counts):
+                    try:
+                        value = fast_loads(text)
+                    except (ValueError, TypeError) as e:
+                        n_err += cnt
+                        errs.extend([f"invalid JSON: {e}"] * cnt)
+                        continue
+                    if isinstance(value, (dict, list)):
+                        valid.append(value)
+                        if cnt > 1:
+                            valid.append(value)
+                        n_ok += cnt
+                    else:
+                        n_err += cnt
+                        errs.extend([gate_error_message(value)] * cnt)
             if valid:
                 fold_docs(acc, valid, ctx)
             if errs:
@@ -181,6 +213,18 @@ class InferResult:
     n_ok: int
     n_err: int
     violations: DataFrame
+    # the persisted mapInPandas output the violations DataFrame reads
+    # from; callers that are done with violations release it via
+    # unpersist() — a per-micro-batch caller (run_incremental_inference)
+    # would otherwise leak one cached RDD per batch, forever
+    _cached: Optional[DataFrame] = None
+
+    def unpersist(self) -> None:
+        """Release the cached scan output backing ``violations``.
+        Reading ``violations`` afterwards still works (recomputes)."""
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
 
     def schema(self, ctx: SchemaContext) -> dict:
         """Final JSON Schema (transform passes applied, SchemaGuru.scala:74-78)."""
@@ -270,7 +314,7 @@ def infer_json_column(df: DataFrame, column: str, ctx: SchemaContext,
         acc = merge(acc, loads(row["payload"]), ctx)
         n_ok += row["n_ok"]
         n_err += row["n_err"]
-    return InferResult(acc, n_ok, n_err, violations)
+    return InferResult(acc, n_ok, n_err, violations, _cached=raw)
 
 
 def _fold_keyed_batch(accs: dict, counts: dict, pdf: pd.DataFrame,
@@ -299,6 +343,31 @@ def _fold_keyed_batch(accs: dict, counts: dict, pdf: pd.DataFrame,
             parsed.append((value, False))
         except (ValueError, TypeError):
             parsed.append((None, True))
+    if _enum_order_sensitive(ctx):
+        # ROW-ORDER fold per key: the (key, doc) collapse below
+        # reorders a key's documents (first-appearance, duplicates
+        # adjacent), which changes order-sensitive enum merges. Parsing
+        # is still once per distinct text; only the fold is per row.
+        for key, code in zip(pdf[key_col].to_numpy(), codes.tolist()):
+            if key is not None and pd.isna(key):
+                key = None
+            st = accs.get(key)
+            if st is None:
+                st = accs[key] = {}
+                counts[key] = [0, 0]
+            if code < 0:
+                counts[key][1] += 1
+                continue
+            value, bad = parsed[code]
+            if bad:
+                counts[key][1] += 1
+                continue
+            try:
+                accumulate_doc(st, value, ctx)
+                counts[key][0] += 1
+            except ValueError:
+                counts[key][1] += 1
+        return
     sub = pd.DataFrame({"k": pdf[key_col].to_numpy(), "c": codes})
     # dropna=False: a NULL key is still a key (matches the row-loop
     # behavior this fast path replaced)

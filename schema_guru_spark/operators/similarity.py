@@ -231,9 +231,14 @@ def ivf_topk_bucketed(spark, path: str, query: Sequence[float],
 
 def pairwise_topk_join(left: DataFrame, right: DataFrame, vec_col: str,
                        id_col: str, k: int = 5) -> DataFrame:
-    """k-NN join of two (small-ish) embedding sets: for each left id the
-    top-k right ids by cosine. Broadcast the smaller side; window top-k.
-    At 100 TB gate this behind IVF bucketing (join on centroid_id)."""
+    """k-NN join of two embedding sets: for each left id the top-k
+    right ids by cosine; window top-k per left id.
+
+    ``right`` is ALWAYS the broadcast side — pass the small set (the
+    queries/probe set) as ``right`` and the large one as ``left``; a
+    row-scale ``right`` will fail the broadcast, loudly, rather than
+    silently plan a shuffle cross join. At 100 TB gate this behind IVF
+    bucketing (join on centroid_id)."""
     from pyspark.sql.window import Window
     l = left.select(F.col(id_col).alias("id_l"),
                     F.col(vec_col).cast("array<double>").alias("vl"))

@@ -126,7 +126,7 @@ def _distinct_keys(df: DataFrame, column: str) -> DataFrame:
 
 
 def duplicate_keys(df: DataFrame, column: str,
-                   max_driver_keys: int = 50_000) -> DataFrame:
+                   max_driver_keys: int = 2_000) -> DataFrame:
     """Levenshtein near-duplicate detection over the DISTINCT values of a
     column — J1+J2 (LevenshteinAnnotator.scala:39-114): uniform (strip -_
     and lowercase), edit distance <= 1 over keys longer than 3, canonical
@@ -139,7 +139,10 @@ def duplicate_keys(df: DataFrame, column: str,
     driver-side pass over merged-schema keys — schema-cardinality data).
     Past the cap — a caller pointing the operator at a row-scale column —
     it falls back to ``duplicate_keys_distributed``, so no input can OOM
-    the driver. The guard costs nothing extra: the same limit(K+1)
+    the driver. The cap bounds the driver's O(K²) pure-Python distance
+    loop, not just memory (compare_sets streams pairs): 2,000 keys ≈
+    4M comparisons ≈ seconds; schema-key inputs are orders of magnitude
+    below it. The guard costs nothing extra: the same limit(K+1)
     collect that fetches the keys detects overflow.
     """
     limited = _distinct_keys(df, column).limit(max_driver_keys + 1).collect()
@@ -162,7 +165,8 @@ def duplicate_keys_distributed(df: DataFrame, column: str) -> DataFrame:
     cost is Σ|variant-bucket|², never |keys|².
     """
     keys = _distinct_keys(df, column)
-    u = F.lower(F.regexp_replace("k", "[-_]", ""))
+    from schema_guru_spark.functions import uniform_string
+    u = uniform_string(F.col("k"))
     deletions = F.transform(
         F.sequence(F.lit(1), F.length("u")),
         lambda i: F.concat(F.substring("u", F.lit(1), i - 1),
@@ -214,17 +218,15 @@ def segment_counts(df: DataFrame, json_col: str, json_path: str) -> DataFrame:
     normalization (slice 30 chars, [^a-zA-Z0-9.-] -> _, null/empty ->
     'unmatched') + group counts. Pure built-ins: get_json_object +
     regexp_replace + substring."""
+    from schema_guru_spark.functions import normalize_segment_key
     raw = F.get_json_object(F.col(json_col), json_path)
-    key = F.when(
-        raw.isNull() | (F.trim(raw) == ""), F.lit("unmatched")
-    ).otherwise(
-        F.regexp_replace(F.substring(raw, 1, 30), "[^a-zA-Z0-9.-]", "_")
-    )
+    key = normalize_segment_key(raw)
     return (df.withColumn("segment", key)
               .groupBy("segment").agg(F.count(F.lit(1)).alias("n"))
               .orderBy("segment"))
 
 
 def snakify(col):
-    """F4 (DdlCommand.scala:349): camelCase -> snake_case as an expression."""
-    return F.lower(F.regexp_replace(col, "([^A-Z_])([A-Z])", r"$1_$2"))
+    """F4 — re-exported from functions (the single parity copy)."""
+    from schema_guru_spark.functions import snakify as _snakify
+    return _snakify(col)

@@ -107,6 +107,12 @@ def _quality_cols(c: Column, lang: str = "en") -> dict:
     # ratios (guarded)
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
     stop_hits = F.round(n_stop / F.lit(len(stops)), 6)
+    # deliberate: n_chars is the RAW length (incl. leading/trailing
+    # whitespace and multi-space runs) while words come from trimmed
+    # text, so padded docs read slightly long — the formula is pinned
+    # verbatim in every oracle twin (quality/curation/source_mix), and
+    # heavy whitespace padding inflating mean_word_len out of the
+    # [2,12] band is itself a usable low-quality signal
     mean_word_len = F.round((n_chars - (n_words - 1)) /
                             F.greatest(n_words, F.lit(1)), 6)
     len_ok = F.when((n_chars >= 50) & (n_chars <= 100000), 1.0).otherwise(0.0)
@@ -204,7 +210,12 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
 # Deliberately simple-and-auditable shapes; production deployments swap
 # in their own pattern registry.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_PHONE_RE = r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+# country code OPTIONAL: the mandatory [0-9]{1,3} prefix missed the
+# standard domestic forms '(555) 123-4567' / '555-123-4567' /
+# '555.123.4567' (false negatives released unredacted PII); pure digit
+# runs still don't match — the group separators stay mandatory
+PII_PHONE_RE = (r"(?:\+?[0-9]{1,3}[-. ]?)?"
+                r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}")
 PII_SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
 PII_IPV4_RE = (r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
                r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}")
@@ -405,7 +416,8 @@ def curation_report(docs: DataFrame, text_col: str, id_col: str,
                     bench: DataFrame = None, bench_text_col: str = None,
                     contamination_n: int = 13, quality_min: float = 0.5,
                     dup3_max: float = 0.2, top2_max: float = 0.18,
-                    allowed_langs: tuple = None) -> DataFrame:
+                    allowed_langs: tuple = None,
+                    stopword_lang: str = "en") -> DataFrame:
     """The curation end product: one keep/drop verdict per document with
     machine-readable reason codes, composing every per-doc signal this
     module exposes (quality score, Gopher repetition caps, language
@@ -440,6 +452,7 @@ def curation_report(docs: DataFrame, text_col: str, id_col: str,
         sig_cols = ["lang_pred", "quality", "dup_3gram_frac",
                     "top_2gram_frac", "has_pii"]
         expl = (_curation_signals_df(docs, text_col, id_col,
+                                     stopword_lang=stopword_lang,
                                      extra={"_grams": grams})
                 .select("id", *sig_cols,
                         F.explode_outer("_grams").alias("gram")))
@@ -455,26 +468,31 @@ def curation_report(docs: DataFrame, text_col: str, id_col: str,
     # no benchmark: pure per-row plan — pre-sort the narrow input so
     # the trailing order doesn't recompute the signals (_presorted)
     base = (_curation_signals_df(_presorted(docs, id_col, text_col),
-                                 "_t", "id")
+                                 "_t", "id",
+                                 stopword_lang=stopword_lang)
             .withColumn("contaminated", F.lit(False)))
     return base.select(*out_cols, keep.alias("keep"),
                        reasons.alias("reasons"))
 
 
 def _curation_signals_df(docs: DataFrame, text_col: str, id_col: str,
-                         extra: dict = None) -> DataFrame:
+                         extra: dict = None,
+                         stopword_lang: str = "en") -> DataFrame:
     """DataFrame of the per-document curation signals (id, lang_pred,
     quality, dup_3gram_frac, top_2gram_frac, has_pii) — shared by the
     batch curation_report and the streaming path (all stateless per-row
     expressions, so they are streaming-safe by construction). ``extra``
     maps output name -> column to carry alongside (e.g. gram hashes for
-    the streaming contamination probe). Two-step projection so the
+    the streaming contamination probe). ``stopword_lang`` picks the
+    quality score's stopword list (quality_scores' own parameter) —
+    the verdicts would otherwise silently score every corpus against
+    English stopwords. Two-step projection so the
     bound repetition struct is materialized once per row (see _bind)."""
     c = F.col(text_col)
     first = docs.select(
         F.col(id_col).alias("id"),
         _lang_pred_expr(c).alias("lang_pred"),
-        _quality_cols(c)["quality"].alias("quality"),
+        _quality_cols(c, stopword_lang)["quality"].alias("quality"),
         _repetition_struct(c).alias("_rep"),
         (F.regexp_count(c, F.lit(PII_EMAIL_RE))
          + F.regexp_count(c, F.lit(PII_PHONE_RE))

@@ -16,15 +16,25 @@ sorted int64 array (bounded by construction — benchmark/eval sets are
 millions of grams at most, ~8 MB per million), broadcast to executors,
 and each arriving document probes its own gram hashes with a single
 Arrow-batched ``np.isin`` against the sorted array (binary search,
-O(g log B) per doc). Exact membership — no false positives — and zero
-shuffle on the corpus side.
+O(g log B) per doc), zero shuffle on the corpus side.
+
+Precision: membership is decided on 64-bit HASH equality, so unlike
+the batch path (curation_report joins on the raw gram strings) it has
+a hash-collision false-positive rate of ~B/2^64 per probed gram
+(B = benchmark grams; ~5e-14 at B = 1e6). A collision DROPS a clean
+document — the conservative direction for contamination filtering —
+and at corpus scale (10^12 docs x ~10^3 grams x B = 1e6) the expected
+count is O(10) spurious drops, zero false NEGATIVES ever. Streams that
+need the batch path's string-exact verdict re-check their drops
+offline; the stream==batch parity tests hold because the fixtures are
+collision-free, as any non-adversarial corpus is in practice.
 
 Spark's built-in Bloom machinery would be the idiomatic JVM answer, but
 ``bloom_filter_agg``/``might_contain`` live in the internal function
 registry (not user-callable), and ``DataFrame.stat.bloomFilter`` returns
 a driver-side py4j handle unusable inside executors — so the broadcast
-sorted-hash probe is the public-API plan; it is also exact where a Bloom
-filter is approximate.
+sorted-hash probe is the public-API plan; its false-positive rate is
+also orders of magnitude below a practical Bloom filter's.
 """
 
 from __future__ import annotations
@@ -58,7 +68,8 @@ def streaming_curation(stream: DataFrame, text_col: str, id_col: str,
                        contamination_n: int = 13,
                        quality_min: float = 0.5, dup3_max: float = 0.2,
                        top2_max: float = 0.18,
-                       allowed_langs: tuple = None) -> DataFrame:
+                       allowed_langs: tuple = None,
+                       stopword_lang: str = "en") -> DataFrame:
     """Per-arrival keep/drop verdict with the batch reason codes
     (same output schema as curation_report, unordered — streams have no
     total order).
@@ -71,6 +82,7 @@ def streaming_curation(stream: DataFrame, text_col: str, id_col: str,
     """
     base = _curation_signals_df(
         stream, text_col, id_col,
+        stopword_lang=stopword_lang,
         extra={"_ghash": F.transform(
             _distinct_ngrams(F.col(text_col), contamination_n),
             lambda g: F.xxhash64(g))})

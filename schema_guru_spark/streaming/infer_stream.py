@@ -79,16 +79,33 @@ def run_incremental_inference(stream_df: DataFrame, column: str,
 
     store = IncrementalSchemaState(state_path)
 
+    def write_schema(state: dict) -> None:
+        # atomic like IncrementalSchemaState.write — a crash mid-write
+        # must never leave truncated JSON behind
+        rendered = render(apply_transforms(state, ctx), ctx)
+        tmp = state_path + ".schema.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(rendered, f, sort_keys=True)
+        os.replace(tmp, state_path + ".schema.json")
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         prev, ok, err, last_id = store.read()
         if last_id is not None and batch_id <= last_id:
-            return  # replayed batch (failure between sink and commit)
+            # replayed batch (failure between sink and commit). The
+            # crash may have landed BETWEEN the state commit and the
+            # schema write — regenerate from the committed state so
+            # schema.json can never stay a batch behind.
+            write_schema(prev)
+            return
         res = infer_json_column(batch_df, column, ctx)
-        merged = merge(prev, res.state, ctx)
-        store.write(merged, ok + res.n_ok, err + res.n_err, batch_id)
-        rendered = render(apply_transforms(merged, ctx), ctx)
-        with open(state_path + ".schema.json", "w") as f:
-            json.dump(rendered, f, sort_keys=True)
+        try:
+            merged = merge(prev, res.state, ctx)
+            store.write(merged, ok + res.n_ok, err + res.n_err, batch_id)
+            write_schema(merged)
+        finally:
+            # one cached scan per micro-batch would otherwise accumulate
+            # in executor storage for the stream's whole lifetime
+            res.unpersist()
 
     writer = (stream_df.writeStream
               .foreachBatch(process)

@@ -271,3 +271,39 @@ def test_enum_infer_folds_states_in_partition_order(spark):
     sch = res.schema(ctx)
     assert sorted(sch["properties"]["e"]["enum"]) == ["p", "q", "r", "s"]
     assert res.n_ok == 5 and res.n_err == 0
+
+
+def test_enum_fold_is_row_order_within_partition(spark):
+    """The unique-doc fast path collapses duplicates to first-appearance
+    order, which is NOT the row order the order-sensitive enum merge
+    needs: docs [1, 2, 1] with K=2 must fold as concat [1,2,1] (size 3
+    > 2 -> tombstone), not as the collapsed [1,1,2] (enum kept). Enum
+    contexts therefore fold per row; the kernel's sequential fold is
+    the ground truth."""
+    import json as _json
+
+    from schema_guru_spark.core import render
+    from schema_guru_spark.core.microschema import derive_text, merge_all
+    from schema_guru_spark.core.transforms import apply_transforms
+
+    ctx = SchemaContext.make(2)
+    docs = [{"x": 1}, {"x": 2}, {"x": 1}]
+    want = render(apply_transforms(
+        merge_all([derive_text(_json.dumps(d), ctx)[0]
+                   for d in docs], ctx), ctx), ctx)
+    want_enum = want["properties"]["x"].get("enum")
+    assert want_enum is None  # the kernel tombstones: concat size 3 > 2
+
+    df = spark.createDataFrame(
+        [( _json.dumps(d),) for d in docs], "content string").coalesce(1)
+    sch = infer_json_column(df, "content", ctx).schema(ctx)
+    assert sch["properties"]["x"].get("enum") == want_enum
+
+    # keyed path: same rule per key
+    kdf = spark.createDataFrame(
+        [("k", _json.dumps(d)) for d in docs],
+        "key string, content string").coalesce(1)
+    out = {r["key"]: _json.loads(r["schema"])
+           for r in infer_json_column_by_key(
+               kdf, "content", "key", ctx).collect()}
+    assert out["k"]["properties"]["x"].get("enum") == want_enum

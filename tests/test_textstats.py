@@ -257,3 +257,24 @@ def test_sorted_output_false_drops_the_exchange(spark):
         got = sorted(map(tuple, unsorted.collect()))
         want = sorted(map(tuple, op(df, "text", "id").collect()))
         assert got == want, op.__name__
+
+
+def test_pii_phone_matches_domestic_formats(spark):
+    """The country-code prefix must be OPTIONAL: '(555) 123-4567',
+    '555-123-4567' and '555.123.4567' are the standard US forms — a
+    mandatory [0-9]{1,3} prefix made them all false negatives, so
+    PII-bearing documents were released unredacted."""
+    df = spark.createDataFrame([
+        (1, "call me at (555) 123-4567 today"),
+        (2, "alt: 555-123-4567"),
+        (3, "dots 555.123.4567 work too"),
+        (4, "intl +1 555-123-4567 still matches"),
+        (5, "version 1.2.3 and date 2024-01-02 are not phones"),
+        (6, "digits 12345678901234 without separators are not"),
+    ], "doc_id long, text string")
+    rows = {r["id"]: r
+            for r in TS.pii_scan(df, "text", "doc_id").collect()}
+    for i in (1, 2, 3, 4):
+        assert rows[i]["n_phone"] == 1 and rows[i]["has_pii"], i
+    for i in (5, 6):
+        assert rows[i]["n_phone"] == 0, i
