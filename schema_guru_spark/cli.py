@@ -86,18 +86,27 @@ def main(argv=None) -> int:
     docs = read_json_dir(spark, args.input, ndjson=args.ndjson)
 
     enum_sets = read_enum_sets(args.enum_sets) if args.enum_sets else []
-    # CLI sets quantity from the doc count (SchemaCommand.scala:146)
-    quantity = docs.count()
-    ctx = SchemaContext.make(args.enum_cardinality, enum_sets,
-                             quantity=quantity,
-                             derive_length=not args.no_length)
+    # quantity is the count of VALID (parseable) instances, per
+    # produce() call, as the reference CLI does (SchemaCommand.scala:146
+    # passes jsons.length where jsons survived parsing — unparseable
+    # rows must not inflate the base64 small-instance-set guard). The
+    # probe is JVM-side: try_parse_json is null exactly on invalid JSON.
+    parse_ok = F.try_parse_json(F.col("content")).isNotNull()
 
     if args.schema_by:
         from schema_guru_spark.functions import normalize_segment_key
+        ctx = SchemaContext.make(args.enum_cardinality, enum_sets,
+                                 derive_length=not args.no_length)
         keyed = docs.withColumn(
             "segment",
             normalize_segment_key(F.get_json_object("content", args.schema_by)))
-        out = infer_json_column_by_key(keyed, "content", "segment", ctx)
+        # per-segment quantity (reference: produce(key, someJsons) gets
+        # that segment's own count, SchemaCommand.scala:118-122)
+        qmap = {r["segment"]: r["n"] for r in
+                keyed.filter(parse_ok).groupBy("segment")
+                     .agg(F.count("*").alias("n")).collect()}
+        out = infer_json_column_by_key(keyed, "content", "segment", ctx,
+                                       quantity_by_key=qmap)
         rows = out.collect()
         result = {}
         for r in rows:
@@ -107,7 +116,20 @@ def main(argv=None) -> int:
                                args.schemaver)
             result[r["segment"]] = sch
         payload = json.dumps(result, indent=2, sort_keys=True)
+        # the reference prints parse errors after segmented output
+        # (SchemaCommand.scala:127-130); route them like the global path
+        # (--errors-path as parquet, else stderr, capped)
+        bad = docs.filter(~parse_ok)
+        violations = _parse_error_messages(bad)
+        if args.errors_path and not violations.isEmpty():
+            violations.write.mode("overwrite").parquet(args.errors_path)
+        else:
+            for row in violations.limit(20).collect():
+                print(f"error: {row['error']}", file=sys.stderr)
     else:
+        ctx = SchemaContext.make(args.enum_cardinality, enum_sets,
+                                 quantity=docs.filter(parse_ok).count(),
+                                 derive_length=not args.no_length)
         res = infer_json_column(docs, "content", ctx)
         schema = res.schema(ctx)
         if args.vendor and args.name:
@@ -130,6 +152,33 @@ def main(argv=None) -> int:
     else:
         print(payload)
     return 0
+
+
+def _parse_error_messages(bad):
+    """Violation messages for rows the JVM validity probe rejected —
+    re-parse each offending text with the same Python parser the derive
+    pass uses so segmented-mode error wording matches the global path
+    ('invalid JSON: ...' / 'null content'). Distributed (mapInPandas);
+    a JVM-rejected row the Python parser accepts is silently dropped."""
+    import pandas as pd
+
+    from schema_guru_spark.core.json_fast import loads as fast_loads
+
+    def fn(batches):
+        for pdf in batches:
+            msgs = []
+            for text in pdf["content"]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    msgs.append("null content")
+                    continue
+                try:
+                    fast_loads(text)
+                except (ValueError, TypeError) as e:
+                    msgs.append(f"invalid JSON: {e}")
+            if msgs:
+                yield pd.DataFrame({"error": msgs})
+
+    return bad.mapInPandas(fn, "error string")
 
 
 def _ddl_command(args) -> int:
@@ -164,7 +213,8 @@ def _ddl_command(args) -> int:
                          varchar_size=args.varchar_size,
                          with_json_paths=args.with_json_paths,
                          split_product=args.split_product,
-                         no_header=args.no_header)
+                         no_header=args.no_header,
+                         raw_mode=args.raw_mode)
     rc = 0
     for rel, content in tree.items():
         dest = os.path.join(args.output, rel)

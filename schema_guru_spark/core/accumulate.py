@@ -169,7 +169,7 @@ def _accumulate_cold(acc: dict, value: Any, ctx: SchemaContext,
         # existing state would change enum-tombstone outcomes (the concat
         # -size check sees different list lengths).
         arr = acc.get("arr")
-        if ctx.enum_cardinality == 0 and arr is not None:
+        if ctx.enum_disabled and arr is not None:
             # no-enum fast path: with no enum state the merge is
             # pointwise associative+commutative, so folding elements
             # directly into the existing items state == merging a

@@ -64,8 +64,11 @@ def validate(value: Any, schema: dict, path: str = "$") -> List[str]:
         if not ok and isinstance(value, (int, float)) \
                 and not isinstance(value, bool):
             if isinstance(value, int):
-                f = float(value)
-                ok = int(f) == value and enum_key(f) in keys
+                try:
+                    f = float(value)
+                except OverflowError:
+                    f = None  # beyond float range: no float twin exists
+                ok = f is not None and int(f) == value and enum_key(f) in keys
             elif value.is_integer():
                 ok = enum_key(int(value)) in keys
         if not ok:

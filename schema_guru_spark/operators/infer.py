@@ -319,7 +319,8 @@ def infer_json_column(df: DataFrame, column: str, ctx: SchemaContext,
 
 def _fold_keyed_batch(accs: dict, counts: dict, pdf: pd.DataFrame,
                       key_col: str, column: str, ctx: SchemaContext,
-                      loads_fn=fast_loads) -> None:
+                      loads_fn=fast_loads,
+                      ctx_by_key: Optional[dict] = None) -> None:
     """Fold one Arrow batch into per-key accumulators — the keyed twin
     of the global derive pass's unique-document fast path (see
     ``_derive_partial``): documents are ``pd.factorize``d so each
@@ -330,8 +331,18 @@ def _fold_keyed_batch(accs: dict, counts: dict, pdf: pd.DataFrame,
     duplicate-heavy corpora, which JSON-bearing code repos are.
 
     ``loads_fn`` is injectable so tests can count parse calls.
+    ``ctx_by_key`` (optional) maps a key to the context its documents
+    fold under — the reference's segmented mode derives each segment
+    with that segment's own valid-doc count as ``quantity``
+    (SchemaCommand.scala:146, produce() per segment), which gates the
+    base64 pattern suggestion at derive time.
     """
     from schema_guru_spark.core.accumulate import accumulate_doc
+
+    def _ctx_for(key):
+        if ctx_by_key is None:
+            return ctx
+        return ctx_by_key.get(key, ctx)
 
     codes, uniques = pd.factorize(pdf[column], use_na_sentinel=True)
     parsed: list = []
@@ -363,7 +374,7 @@ def _fold_keyed_batch(accs: dict, counts: dict, pdf: pd.DataFrame,
                 counts[key][1] += 1
                 continue
             try:
-                accumulate_doc(st, value, ctx)
+                accumulate_doc(st, value, _ctx_for(key))
                 counts[key][0] += 1
             except ValueError:
                 counts[key][1] += 1
@@ -388,16 +399,19 @@ def _fold_keyed_batch(accs: dict, counts: dict, pdf: pd.DataFrame,
             counts[key][1] += cnt
             continue
         try:
-            accumulate_doc(st, value, ctx)
+            kctx = _ctx_for(key)
+            accumulate_doc(st, value, kctx)
             if cnt > 1:
-                accumulate_doc(st, value, ctx)
+                accumulate_doc(st, value, kctx)
             counts[key][0] += cnt
         except ValueError:
             counts[key][1] += cnt
 
 
 def infer_json_column_by_key(df: DataFrame, column: str, key_col: str,
-                             ctx: SchemaContext, n_salts: int = 8) -> DataFrame:
+                             ctx: SchemaContext, n_salts: int = 8,
+                             quantity_by_key: Optional[dict] = None
+                             ) -> DataFrame:
     """Per-key (segmented) schema inference — G1/A8 of SURVEY.md §2.
 
     Phase 1 is MAP-SIDE: each scan task folds per-key accumulators for
@@ -422,6 +436,14 @@ def infer_json_column_by_key(df: DataFrame, column: str, key_col: str,
     _require_commutative(ctx)
     part_schema = (f"{key_col} string, payload string, n_ok bigint, "
                    "n_err bigint, pid int")
+    # per-segment quantity (reference segmented mode: produce() derives
+    # each segment with its own doc count, SchemaCommand.scala:118-146):
+    # a tiny driver-built {key: ctx} map, shipped in the task closure
+    ctx_by_key = None
+    if quantity_by_key:
+        from dataclasses import replace
+        ctx_by_key = {k: replace(ctx, quantity=q)
+                      for k, q in quantity_by_key.items()}
 
     def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -431,7 +453,8 @@ def infer_json_column_by_key(df: DataFrame, column: str, key_col: str,
         accs: dict = {}
         counts: dict = {}
         for pdf in batches:
-            _fold_keyed_batch(accs, counts, pdf, key_col, column, ctx)
+            _fold_keyed_batch(accs, counts, pdf, key_col, column, ctx,
+                              ctx_by_key=ctx_by_key)
         if accs:
             yield pd.DataFrame(
                 [(k, dumps(a), counts[k][0], counts[k][1], pid)

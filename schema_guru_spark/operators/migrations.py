@@ -48,7 +48,14 @@ def flatten_properties(json_schema: dict, prefix: str = "") -> Dict[str, dict]:
     props = json_schema.get("properties", {})
     for k, v in props.items():
         path = f"{prefix}{k}"
-        if v.get("type") == "object" and "properties" in v:
+        t = v.get("type")
+        types = t if isinstance(t, list) else [t]
+        # recurse into anything object-shaped: the engine's own render
+        # emits type ["object","null"] for sometimes-null objects (a
+        # product of obj+null), and schemas may omit "type" entirely —
+        # keying off the string "object" alone silently collapsed such
+        # subtrees into one VARCHAR leaf (r05 review)
+        if "properties" in v and (t is None or "object" in types):
             out.update(flatten_properties(v, prefix=f"{path}."))
         else:
             out[path] = {kk: vv for kk, vv in v.items() if kk != "properties"}

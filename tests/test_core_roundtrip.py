@@ -197,6 +197,12 @@ def test_accumulate_equals_derive_merge(docs):
     # these branches still run when they CAN matter)
     for ctx in (CTX, CTX_ENUM, SchemaContext.make(1),
                 SchemaContext.make(0, enum_sets=[["a", "b", 1, True]]),
+                # int+float set members: construct_enum is live even at
+                # cardinality 0, so the array no-enum fast path must NOT
+                # fire (its gate is ctx.enum_disabled, not cardinality —
+                # r05 review: [1.5] then [1,2] ordered the num enum
+                # [2,1,1.5] vs the pure fold's [1,2,1.5])
+                SchemaContext.make(0, enum_sets=[[1, 2, 1.5]]),
                 SchemaContext.make(0, quantity=5),
                 SchemaContext.make(2, enum_sets=[["x", "y"]], quantity=20)):
         pure = ZERO
@@ -209,6 +215,31 @@ def test_accumulate_equals_derive_merge(docs):
         # sub-state inside accumulate (as derivation does), so even enum
         # ordering and tombstone outcomes coincide
         assert dumps(fused) == dumps(pure)
+
+
+def test_validate_huge_int_against_float_enum():
+    """10**400 has no float twin — the widening probe must record an
+    enum miss, not crash with OverflowError (r05 review)."""
+    assert validate(10**400, {"enum": [1.0]}) == ["$: value not in enum"]
+    assert validate(10**400, {"enum": [10**400]}) == []
+    assert validate(2**53, {"enum": [float(2**53)]}) == []
+
+
+def test_array_fast_path_respects_live_enum_sets():
+    """Deterministic pin of the r05 review finding: a numeric
+    predefined enum set keeps construct_enum live at cardinality 0, so
+    streaming array elements into existing num state reorders the enum
+    ([2, 1, 1.5]) relative to the pure derive+merge fold ([1, 2, 1.5])."""
+    from schema_guru_spark.core.accumulate import accumulate_doc
+    ctx = SchemaContext.make(0, enum_sets=[[1, 2, 1.5]])
+    docs = [{"k": [1.5]}, {"k": [1, 2]}]
+    pure = ZERO
+    for d in docs:
+        pure = merge(pure, derive(d, ctx)[0], ctx)
+    fused = {}
+    for d in docs:
+        accumulate_doc(fused, d, ctx)
+    assert dumps(fused) == dumps(pure)
 
 
 def test_identity_law():

@@ -98,8 +98,111 @@ def test_header_and_no_header():
     schema = {"type": "object", "properties": {"a": {"type": "integer"}}}
     with_h = D.table_ddl(schema, "com.acme", "ev")
     assert with_h.startswith("-- AUTO-GENERATED")
+    # reference layout (makeDdlFile): schema create precedes the table
     without = D.table_ddl(schema, "com.acme", "ev", no_header=True)
-    assert without.startswith("CREATE TABLE")
+    assert without.startswith("CREATE SCHEMA IF NOT EXISTS atomic;")
+    assert "CREATE TABLE IF NOT EXISTS atomic.com_acme_ev_1" in without
+    assert "AUTO-GENERATED" not in without
+
+
+def test_nonraw_envelope_and_dist_sort_keys():
+    """Non-raw tables carry the Snowplow envelope + DISTKEY/SORTKEY
+    (schema-ddl getAtomicTableDdl) — DISTSTYLE KEY without a DISTKEY is
+    invalid Redshift DDL (r05 review)."""
+    ddl = D.table_ddl(SCHEMA_V1, "com.acme", "event", no_header=True)
+    assert '"schema_vendor" VARCHAR(128) ENCODE RUNLENGTH NOT NULL' in ddl
+    assert '"root_id" CHAR(36) ENCODE RAW NOT NULL' in ddl
+    assert "FOREIGN KEY (root_id) REFERENCES atomic.events(event_id)" in ddl
+    assert "DISTSTYLE KEY" in ddl
+    assert "DISTKEY (root_id)" in ddl
+    assert "SORTKEY (root_tstamp)" in ddl
+    assert ("COMMENT ON TABLE atomic.com_acme_event_1 IS "
+            "'iglu:com.acme/event/jsonschema/1-0-0';") in ddl
+
+
+def test_raw_mode_no_envelope_no_dist_keys():
+    """Raw tables have no root_id, so no envelope / FK / dist / sort
+    keys (schema-ddl getRawTableDdl)."""
+    ddl = D.table_ddl(SCHEMA_V1, "", "event", no_header=True, raw_mode=True)
+    assert "schema_vendor" not in ddl
+    assert "DISTSTYLE" not in ddl and "SORTKEY" not in ddl
+    assert "FOREIGN KEY" not in ddl
+    assert '"user_id" CHAR(36)' in ddl
+
+
+def test_jsonpaths_modes():
+    raw = D.jsonpaths(SCHEMA_V1)
+    assert raw[0] == "$.userId"
+    full = D.jsonpaths(SCHEMA_V1, raw_mode=False)
+    assert full[:4] == ["$.schema.vendor", "$.schema.name",
+                        "$.schema.format", "$.schema.version"]
+    assert "$.hierarchy.rootId" in full
+    assert "$.data.userId" in full and "$.data.nested.innerKey" in full
+
+
+def test_sql_type_minimum_aware():
+    """Integer sizing must respect BOTH bounds: a large negative
+    minimum cannot fit the type picked from the maximum alone
+    (r05 review)."""
+    assert D.sql_type({"type": "integer", "minimum": -10000000000,
+                       "maximum": 100}) == "BIGINT"
+    assert D.sql_type({"type": "integer", "minimum": -40000,
+                       "maximum": 100}) == "INT"
+    assert D.sql_type({"type": "integer", "minimum": -100,
+                       "maximum": 100}) == "SMALLINT"
+
+
+def test_migration_sql_forwards_options():
+    """ALTER TABLE column types must agree with the CREATE TABLE
+    generated under the same options (r05 review)."""
+    from schema_guru_spark.operators.migrations import build_migration_matrix
+    v2 = {"type": "object",
+          "properties": {**SCHEMA_V1["properties"],
+                         "note": {"type": "string"},
+                         "mix": {"type": ["string", "integer"]}}}
+    migs = build_migration_matrix([
+        ("com.acme", "event", "1-0-0", SCHEMA_V1),
+        ("com.acme", "event", "1-0-1", v2),
+    ])
+    sql = D.migration_sql(migs[0], v2, varchar_size=65535,
+                          split_product=True)
+    assert 'ADD COLUMN "note" VARCHAR(65535);' in sql
+    assert 'ADD COLUMN "mix_string" VARCHAR(65535);' in sql
+    assert 'ADD COLUMN "mix_integer" BIGINT;' in sql
+
+
+def test_tree_canonical_schemaver_keys():
+    """Non-canonical version strings ('1-0-01') must not crash the
+    migration target lookup (r05 review)."""
+    tree = D.ddl_file_tree([
+        ("com.acme", "event", "1-0-0", SCHEMA_V1),
+        ("com.acme", "event", "1-0-01", SCHEMA_V2),
+    ])
+    assert "sql/com.acme/migrate_event_1-0-0_to_1-0-1.sql" in tree
+
+
+def test_raw_tree_no_migrations():
+    tree = D.ddl_file_tree([
+        ("", "event", "1-0-0", SCHEMA_V1),
+        ("", "event", "1-0-1", SCHEMA_V2),
+    ], raw_mode=True)
+    assert "sql/event_1.sql" in tree and "sql/event_1.sql" in tree
+    assert not any("migrate" in p for p in tree)
+
+
+def test_flatten_nullable_object_recurses():
+    """type ["object","null"] subtrees (the engine's own render for
+    sometimes-null objects) must flatten into child columns, not one
+    VARCHAR leaf (r05 review)."""
+    schema = {"type": "object", "properties": {
+        "ctx": {"type": ["object", "null"],
+                "properties": {"a": {"type": "integer"},
+                               "b": {"type": "string", "maxLength": 3}}}}}
+    from schema_guru_spark.operators.migrations import flatten_properties
+    flat = flatten_properties(schema)
+    assert set(flat) == {"ctx.a", "ctx.b"}
+    ddl = D.table_ddl(schema, "com.acme", "ev", no_header=True)
+    assert '"ctx_a" BIGINT' in ddl and '"ctx_b" VARCHAR(3)' in ddl
 
 
 def test_tree_jsonpaths_gate():

@@ -109,6 +109,52 @@ def test_cli_segmented(json_dir, tmp_path):
     assert "unmatched" in seg
 
 
+def test_cli_quantity_counts_valid_docs_only(tmp_path, capsys):
+    """quantity = count of PARSEABLE docs per produce() call
+    (SchemaCommand.scala:146) — 8 valid + 4 broken must suppress the
+    base64 pattern (valid count < 10), where the old docs.count()=12
+    would have emitted it (r05 review)."""
+    from schema_guru_spark.cli import main
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(8):
+        (src / f"v{i}.json").write_text('{"tok": "YWJjZA=="}')
+    for i in range(4):
+        (src / f"bad{i}.json").write_text("{nope")
+    out = tmp_path / "schema.json"
+    assert main(["schema", str(src), "--output", str(out),
+                 "--cpus", "4"]) == 0
+    capsys.readouterr()
+    sch = json.loads(out.read_text())
+    assert "pattern" not in sch["properties"]["tok"]
+
+
+def test_cli_segmented_per_segment_quantity_and_errors(tmp_path, capsys):
+    """Segmented mode derives each segment with ITS OWN valid-doc count
+    (produce per segment, SchemaCommand.scala:118-122) and reports parse
+    errors instead of silently discarding them (r05 review)."""
+    from schema_guru_spark.cli import main
+    src = tmp_path / "docs"
+    src.mkdir()
+    # segment 'small': 5 docs (<10) with a base64-able short string;
+    # segment 'big': 12 docs — global count would be >= 10
+    for i in range(5):
+        (src / f"s{i}.json").write_text(
+            '{"event": "small", "tok": "YWJjZA=="}')
+    for i in range(12):
+        (src / f"b{i}.json").write_text(
+            '{"event": "big", "tok": "YWJjZA=="}')
+    (src / "broken.json").write_text("{nope")
+    out = tmp_path / "seg.json"
+    assert main(["schema", str(src), "--schema-by", "$.event",
+                 "--output", str(out), "--cpus", "4"]) == 0
+    err = capsys.readouterr().err
+    assert "error:" in err and "invalid JSON" in err
+    segs = json.loads(out.read_text())
+    assert "pattern" not in segs["small"]["properties"]["tok"]
+    assert "pattern" in segs["big"]["properties"]["tok"]
+
+
 # --- migrations / SchemaVer ---
 
 V1 = {"type": "object", "properties": {
