@@ -60,24 +60,36 @@ def main() -> None:
     args = ap.parse_args()
     n4 = args.n_cores * 4
 
+    # a scaling comparison on a contended host is garbage (an r04 run
+    # overlapped a pytest suite and recorded 0.70 on code that measures
+    # 0.81-0.97 quiet) — refuse to measure unless the host is idle.
+    # Sampled BEFORE the synthesize subprocess: sampling after it read
+    # the bench's own table-build back as "contention" and self-tripped
+    # every cold run (r05 review)
+    load_at_start = os.getloadavg()[0]
+    if load_at_start > 2.0:
+        print(f"host busy (1-min load {load_at_start:.2f} > 2.0): "
+              f"refusing to run a scaling measurement; retry when idle",
+              file=sys.stderr)
+        sys.exit(2)
+
     synth_dir = os.path.join(tempfile.gettempdir(),
                              f"sgs_synth_{args.files}")
     if not os.path.exists(os.path.join(synth_dir, "_SUCCESS")):
+        # --synthesize-only: materialize the parquet table WITHOUT also
+        # running a full (discarded) validation pass — the warm-up leg
+        # below is the one that should pay that cost, once
         subprocess.run(
             [sys.executable, RUNNER, "--synthesize", str(args.files),
-             "--cpus", str(n4)],
+             "--synthesize-only", "--cpus", str(n4)],
             capture_output=True, text=True, check=True, cwd=REPO)
-
-    # a scaling comparison on a contended host is garbage (an r04 run
-    # overlapped a pytest suite and recorded 0.70 on code that measures
-    # 0.81-0.97 quiet) — refuse to measure unless the host is idle
-    load_at_start = os.getloadavg()[0]
-    load = load_at_start
-    if load > 2.0:
-        print(f"host busy (1-min load {load:.2f} > 2.0): refusing to "
-              f"run a scaling measurement; retry when idle",
-              file=sys.stderr)
-        sys.exit(2)
+        # let the 1-min loadavg decay from the build before the timed
+        # legs start (the guard above already proved the host idle)
+        import time
+        for _ in range(24):
+            if os.getloadavg()[0] <= 2.0:
+                break
+            time.sleep(5)
 
     print(f"warm-up leg ({n4} cores)...", file=sys.stderr)
     run_leg(synth_dir, n4, args.files)

@@ -80,6 +80,10 @@ def main(argv=None) -> dict:
                          "plain filter Catalyst pushes into the scan")
     ap.add_argument("--synthesize", type=int, default=0,
                     help="generate N synthetic files instead of --input")
+    ap.add_argument("--synthesize-only", action="store_true",
+                    help="with --synthesize: materialize the parquet "
+                         "table and exit without running the validation "
+                         "job (bench harnesses warm the table cheaply)")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--salts", type=int, default=8)
@@ -163,6 +167,11 @@ def main(argv=None) -> dict:
             synthesize_repo_table(spark, args.synthesize) \
                 .repartition(128) \
                 .write.mode("overwrite").parquet(synth_dir)
+        if args.synthesize_only:
+            line = json.dumps({"synthesized": args.synthesize,
+                               "path": synth_dir})
+            print(line)
+            return {"synthesized": args.synthesize, "path": synth_dir}
         df = spark.read.parquet(synth_dir)
         if args.langs:
             from pyspark.sql import functions as _F

@@ -58,6 +58,36 @@ def _is_iceberg_path(path: str) -> bool:
     return os.path.isdir(os.path.join(path, "metadata"))
 
 
+def _residual(df: DataFrame, partition_filter: Optional[dict]) -> DataFrame:
+    """The one row-level semantics every route shares: col in allowed
+    set. Single definition so a semantics fix lands on all routes."""
+    from pyspark.sql import functions as F
+    for col, want in (partition_filter or {}).items():
+        allowed = list(want) if isinstance(want, (list, tuple,
+                                                  set)) else [want]
+        df = df.where(F.col(col).isin(allowed))
+    return df
+
+
+def _require_configured_catalog(spark: SparkSession, table: str,
+                                option: str) -> None:
+    """Snapshot options are plain reader options: a non-Iceberg source
+    silently IGNORES them and reads the current table state — the
+    exact corruption class the module docstring warns about. Require
+    the table's catalog to be explicitly configured
+    (spark.sql.catalog.<name>=...) before trusting the option
+    (r05 review)."""
+    cat = table.split(".")[0] if "." in table else None
+    impl = (spark.conf.get(f"spark.sql.catalog.{cat}", None)
+            if cat else None)
+    if not impl:
+        raise ValueError(
+            f"{option} on table {table!r} requires a configured "
+            "Iceberg catalog (spark.sql.catalog.<name> = SparkCatalog); "
+            "the session catalog would silently ignore the option and "
+            "read the CURRENT table state")
+
+
 def read_table(spark: SparkSession, table: Optional[str] = None,
                path: Optional[str] = None,
                snapshot_id: Optional[int] = None,
@@ -84,32 +114,24 @@ def read_table(spark: SparkSession, table: Optional[str] = None,
     into the scan (on a real Iceberg catalog the runtime turns that
     predicate into the same manifest pruning).
     """
-    from pyspark.sql import functions as F
-
-    def _residual(df: DataFrame) -> DataFrame:
-        for col, want in (partition_filter or {}).items():
-            allowed = list(want) if isinstance(want, (list, tuple,
-                                                      set)) else [want]
-            df = df.where(F.col(col).isin(allowed))
-        return df
-
     if table:
         reader = spark.read
         if snapshot_id is not None:
+            _require_configured_catalog(spark, table, "snapshot_id")
             reader = reader.option("snapshot-id", str(snapshot_id))
-        return _residual(reader.table(table))
+        return _residual(reader.table(table), partition_filter)
     if path:
         if _is_iceberg_path(path):
             from .iceberg_meta import read_iceberg
             return _residual(read_iceberg(
                 spark, path, snapshot_id=snapshot_id,
-                partition_filter=partition_filter))
+                partition_filter=partition_filter), partition_filter)
         if snapshot_id is not None:
             raise ValueError(
                 "snapshot_id requires a catalog table or an Iceberg "
                 "table path; a parquet directory has no snapshot "
                 "lineage")
-        return _residual(spark.read.parquet(path))
+        return _residual(spark.read.parquet(path), partition_filter)
     raise ValueError("read_table needs a table name or a parquet path")
 
 
@@ -129,29 +151,21 @@ def read_table_appends(spark: SparkSession, table: Optional[str] = None,
     parquet directory is a loud error — no snapshot lineage, no
     well-defined delta.
     """
-    from pyspark.sql import functions as F
-
-    def _residual(df: DataFrame) -> DataFrame:
-        for col, want in (partition_filter or {}).items():
-            allowed = list(want) if isinstance(want, (list, tuple,
-                                                      set)) else [want]
-            df = df.where(F.col(col).isin(allowed))
-        return df
-
     if table:
+        _require_configured_catalog(spark, table, "start-snapshot-id")
         reader = (spark.read.option("start-snapshot-id",
                                     str(from_snapshot_id)))
         if to_snapshot_id is not None:
             reader = reader.option("end-snapshot-id",
                                    str(to_snapshot_id))
-        return _residual(reader.table(table))
+        return _residual(reader.table(table), partition_filter)
     if path:
         if _is_iceberg_path(path):
             from .iceberg_meta import read_iceberg_incremental
             return _residual(read_iceberg_incremental(
                 spark, path, from_snapshot_id,
                 to_snapshot_id=to_snapshot_id,
-                partition_filter=partition_filter))
+                partition_filter=partition_filter), partition_filter)
         raise ValueError(
             "incremental read requires a catalog table or an Iceberg "
             "table path; a parquet directory has no snapshot lineage")

@@ -261,7 +261,7 @@ def transform_value(transform: str, value: Any, ice_type: str) -> Any:
     outside the spec subset implemented here — pruning code treats
     that as 'not prunable', never as 'excluded'."""
     if transform == "identity":
-        return value
+        return _identity_value(value, ice_type)
     if value is None:
         return None
     m = re.match(r"^bucket\[(\d+)\]$", transform)
@@ -280,6 +280,61 @@ def transform_value(transform: str, value: Any, ice_type: str) -> Any:
     if transform in ("year", "month", "day", "hour"):
         return _time_transform(transform, value, ice_type)
     raise NotImplementedError(f"transform {transform}")
+
+
+def _identity_value(value: Any, ice_type: str) -> Any:
+    """Coerce an identity-transform value to the representation the
+    partition struct STORES (spec Primitive Types: date = days from
+    epoch int, timestamp = micros long), so pruning compares like with
+    like — an ISO date string against stored int days used to fail raw
+    equality and silently prune every file (r05 review). A value that
+    cannot represent the column's type raises TypeError/ValueError,
+    which the pruning caller treats as 'not prunable by this value',
+    never as 'excluded'."""
+    from datetime import date, datetime, timezone
+    if value is None:
+        return None
+    if ice_type == "date":
+        if isinstance(value, str):
+            value = date.fromisoformat(value)
+        if isinstance(value, datetime):
+            raise TypeError("datetime value against a date partition")
+        if isinstance(value, date):
+            return (value - date(1970, 1, 1)).days
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise TypeError(f"{type(value).__name__} against date")
+        return value  # already days-from-epoch
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(value, str):
+            value = datetime.fromisoformat(value.replace("Z", "+00:00"))
+        if isinstance(value, datetime):
+            epoch = (datetime(1970, 1, 1, tzinfo=timezone.utc)
+                     if value.tzinfo else datetime(1970, 1, 1))
+            return round((value - epoch).total_seconds() * 1e6)
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise TypeError(f"{type(value).__name__} against {ice_type}")
+        return value  # already micros-from-epoch
+    if ice_type in ("int", "long"):
+        if isinstance(value, bool) or not isinstance(value, int):
+            if isinstance(value, float) and value.is_integer():
+                return int(value)
+            raise TypeError(f"{type(value).__name__} against {ice_type}")
+        return value
+    if ice_type == "string":
+        if not isinstance(value, str):
+            raise TypeError(f"{type(value).__name__} against string")
+        return value
+    if ice_type in ("float", "double"):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise TypeError(f"{type(value).__name__} against {ice_type}")
+        return float(value)
+    if ice_type == "boolean":
+        if not isinstance(value, bool):
+            raise TypeError(f"{type(value).__name__} against boolean")
+        return value
+    # uuid / binary / fixed / decimal: the caller must supply the exact
+    # stored representation; raw equality as before
+    return value
 
 
 def _time_transform(transform: str, value: Any, ice_type: str) -> int:
@@ -405,7 +460,8 @@ def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
             part = {ident[k]: v for k, v in df["partition"].items()
                     if k in ident}
             # _partition_keeps_spec subsumes the identity-only check:
-            # transform_value('identity', v) is exact pass-through
+            # transform_value('identity', v) coerces the filter value
+            # to the stored representation (_identity_value)
             if not _partition_keeps_spec(df["partition"], fields,
                                          partition_filter):
                 continue
@@ -685,6 +741,18 @@ def _norm_path(col):
     return F.regexp_replace(col, "^file:/+", "/")
 
 
+def _uri_quote(path: str) -> str:
+    """Percent-encode a raw filesystem path the way Spark's
+    ``_metadata.file_path`` reports it (java.net.URI path encoding:
+    unreserved + pchar stay literal, everything else — spaces,
+    non-ASCII, '%' — becomes %XX). Used to key the per-file sequence
+    map by BOTH forms, since manifest paths are raw while Spark's
+    column is URI-encoded (r05 review: a space in the table path made
+    the seq join miss and deletes silently un-apply)."""
+    from urllib.parse import quote
+    return quote(path, safe="/:@!$&'()*+,;=")
+
+
 # physical -> logical type widenings the spec allows under evolution
 _WIDEN_OK = {("int", "long"), ("float", "double")}
 
@@ -819,27 +887,49 @@ def read_iceberg(spark, table_path: str,
 
     cols = [f["name"] for f in cur_schema["fields"]]
     # per-file data sequence numbers, joined in via a tiny broadcast
-    # map (one row per data FILE, not per data row)
+    # map (one row per data FILE, not per data row). Keyed by BOTH the
+    # raw manifest path and its URI-encoded twin: Spark's
+    # _metadata.file_path percent-encodes specials, manifest/delete
+    # paths are raw — __sg_raw carries the canonical raw path forward
+    # so the position-delete join compares raw-to-raw.
+    seq_rows = []
+    for f in plan.data:
+        raw = f.path if f.path.startswith("/") else "/" + f.path
+        for key in {raw, _uri_quote(raw)}:
+            seq_rows.append((key, raw, f.sequence_number))
     seq_df = spark.createDataFrame(
-        [(f.path if f.path.startswith("/") else "/" + f.path,
-          f.sequence_number) for f in plan.data],
-        "__sg_path string, __sg_seq bigint")
+        seq_rows, "__sg_path string, __sg_raw string, __sg_seq bigint")
     df = df.join(F.broadcast(seq_df), "__sg_path", "left")
+
+    def _file_seq_map(dels, key_col: str, seq_col: str):
+        # per-DELETE-FILE sequence numbers, attached the same way the
+        # data side gets __sg_seq: ONE multi-path scan + a broadcast
+        # (path -> seq) map keyed by _metadata.file_path, instead of
+        # one scan + union node per delete file — hundreds of small
+        # delete commits used to build an O(N)-relation union tree
+        # (r05 review)
+        rows = []
+        for d in dels:
+            raw = d.path if d.path.startswith("/") else "/" + d.path
+            for key in {raw, _uri_quote(raw)}:
+                rows.append((key, d.sequence_number))
+        return spark.createDataFrame(rows,
+                                     f"{key_col} string, {seq_col} bigint")
 
     pos_dels = [d for d in plan.deletes if d.content == 1]
     if pos_dels:
-        del_df = None
-        for d in pos_dels:
-            part = (spark.read.parquet(d.path)
-                    .select(_norm_path(F.col("file_path"))
-                            .alias("__del_path"),
-                            F.col("pos").cast("bigint")
-                            .alias("__del_pos"),
-                            F.lit(d.sequence_number).cast("bigint")
-                            .alias("__del_seq")))
-            del_df = part if del_df is None else del_df.unionAll(part)
+        del_df = (
+            spark.read.parquet(*[d.path for d in pos_dels])
+            .select(_norm_path(F.col("file_path")).alias("__del_path"),
+                    F.col("pos").cast("bigint").alias("__del_pos"),
+                    _norm_path(F.col("_metadata.file_path"))
+                    .alias("__dseq_path"))
+            .join(F.broadcast(_file_seq_map(pos_dels, "__dseq_path",
+                                            "__del_seq")),
+                  "__dseq_path")
+            .drop("__dseq_path"))
         n = sum(d.record_count for d in pos_dels)
-        cond = ((df["__sg_path"] == del_df["__del_path"])
+        cond = ((df["__sg_raw"] == del_df["__del_path"])
                 & (df["__sg_pos"] == del_df["__del_pos"])
                 & (del_df["__del_seq"] >= df["__sg_seq"]))
         df = df.join(_maybe_broadcast(del_df, n), cond, "left_anti")
@@ -847,31 +937,34 @@ def read_iceberg(spark, table_path: str,
     eq_dels = [d for d in plan.deletes if d.content == 2]
     if eq_dels:
         by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
+        # group by (current column names, write-time schema): files in
+        # a group share physical column names too, so each group is ONE
+        # multi-path scan + broadcast seq map (not a per-file union)
         groups: dict[tuple, list[DeleteFile]] = {}
         for d in eq_dels:
             if not d.equality_ids:
                 raise ValueError(
                     f"{d.path}: equality delete file without "
                     "equality_ids — corrupt metadata")
-            groups.setdefault(
-                tuple(by_id[i] for i in d.equality_ids), []).append(d)
-        for names, dels in groups.items():
-            del_df = None
-            for d in dels:
-                # the delete FILE's physical column names follow the
-                # schema at ITS write time; alias them to the current
-                # names by field id (same rename resolution as data)
-                old = {f["id"]: f["name"] for f in _schema_by_id(
-                    meta, d.schema_id)["fields"]}
-                part = (spark.read.parquet(d.path)
-                        .select(*[F.col(old[i])
-                                  .alias(f"__del_{by_id[i]}")
-                                  for i in d.equality_ids])
-                        .withColumn("__del_seq",
-                                    F.lit(d.sequence_number)
-                                    .cast("bigint")))
-                del_df = part if del_df is None \
-                    else del_df.unionAll(part)
+            names = tuple(by_id[i] for i in d.equality_ids)
+            groups.setdefault((names, d.schema_id), []).append(d)
+        for (names, sid), dels in groups.items():
+            # the delete FILE's physical column names follow the
+            # schema at ITS write time; alias them to the current
+            # names by field id (same rename resolution as data)
+            old = {f["id"]: f["name"]
+                   for f in _schema_by_id(meta, sid)["fields"]}
+            ids = dels[0].equality_ids
+            del_df = (
+                spark.read.parquet(*[d.path for d in dels])
+                .select(*[F.col(old[i]).alias(f"__del_{by_id[i]}")
+                          for i in ids],
+                        _norm_path(F.col("_metadata.file_path"))
+                        .alias("__dseq_path"))
+                .join(F.broadcast(_file_seq_map(dels, "__dseq_path",
+                                                "__del_seq")),
+                      "__dseq_path")
+                .drop("__dseq_path"))
             n = sum(d.record_count for d in dels)
             cond = del_df["__del_seq"] > df["__sg_seq"]
             for c in names:

@@ -130,7 +130,19 @@ def write_repo_table(spark: SparkSession, path: str, n_files: int,
             .otherwise(F.col("content")),
         ).withColumn("content_sha", F.sha2("content", 256))
     if corrupt_shas:
-        bad = F.xxhash64("path") % (n_files // max(corrupt_shas, 1)) == 0
+        # EXACT count (like dup_keys), no shuffle: the synthesized path
+        # embeds the deterministic row index ("file_{k}."), so a fixed
+        # index range marks the planted rows. The range sits just BELOW
+        # the dup_keys clone region (whose rows reuse low-k paths), so
+        # the two fixtures never overlap and the planted count is
+        # exactly min(corrupt_shas, n_files - dup_keys). The old
+        # hash % (n_files // k) == 0 probe hit k rows only in
+        # expectation and divided by zero for corrupt_shas > n_files
+        # (r05 review).
+        hi = max(0, n_files - dup_keys)
+        lo = max(0, hi - corrupt_shas)
+        k_col = F.regexp_extract("path", r"file_(\d+)\.", 1).cast("long")
+        bad = (k_col >= F.lit(lo)) & (k_col < F.lit(hi))
         df = df.withColumn(
             "content_sha",
             F.when(bad, F.sha2(F.concat(F.col("content"), F.lit("x")), 256))

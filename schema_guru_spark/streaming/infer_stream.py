@@ -36,13 +36,20 @@ from schema_guru_spark.core.transforms import apply_transforms
 
 class IncrementalSchemaState:
     """Driver-side cumulative state file:
-    {state, n_ok, n_err, last_batch_id}.
+    {state, n_ok, n_err, last_batch_id, checkpoint_dir}.
 
     ``last_batch_id`` makes the foreachBatch sink idempotent:
     Structured Streaming re-executes a batch (same batch_id) after a
     failure between sink completion and checkpoint commit; without the
     guard a replay would double-merge counters (the schema merge itself
-    is idempotent, the counts are not)."""
+    is idempotent, the counts are not).
+
+    ``checkpoint_dir`` pins the stream the state belongs to: batch ids
+    are only comparable within ONE checkpoint lineage. Reusing a state
+    file with a fresh/reset checkpoint restarts ids at 0, and the
+    replay guard would silently discard every early micro-batch of the
+    new stream (r05 review) — the pin turns that into a loud error,
+    same pattern as the incremental-validation params pin."""
 
     def __init__(self, path: str):
         self.path = path
@@ -55,12 +62,20 @@ class IncrementalSchemaState:
                     d.get("last_batch_id"))
         return ZERO, 0, 0, None
 
+    def checkpoint_dir(self) -> Optional[str]:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return json.load(f).get("checkpoint_dir")
+        return None
+
     def write(self, state: dict, n_ok: int, n_err: int,
-              batch_id: Optional[int] = None) -> None:
+              batch_id: Optional[int] = None,
+              checkpoint_dir: Optional[str] = None) -> None:
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"state": state, "n_ok": n_ok, "n_err": n_err,
-                       "last_batch_id": batch_id}, f)
+                       "last_batch_id": batch_id,
+                       "checkpoint_dir": checkpoint_dir}, f)
         os.replace(tmp, self.path)
 
 
@@ -78,6 +93,14 @@ def run_incremental_inference(stream_df: DataFrame, column: str,
     from schema_guru_spark.operators.infer import infer_json_column
 
     store = IncrementalSchemaState(state_path)
+    ckpt = os.path.abspath(checkpoint_dir)
+    pinned = store.checkpoint_dir()
+    if pinned is not None and pinned != ckpt:
+        raise ValueError(
+            f"state file {state_path} belongs to checkpoint {pinned!r}; "
+            f"running it against {ckpt!r} would misread the new "
+            "stream's batch ids as replays. Use the original "
+            "checkpoint, or a fresh state_path.")
 
     def write_schema(state: dict) -> None:
         # atomic like IncrementalSchemaState.write — a crash mid-write
@@ -90,17 +113,28 @@ def run_incremental_inference(stream_df: DataFrame, column: str,
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         prev, ok, err, last_id = store.read()
-        if last_id is not None and batch_id <= last_id:
-            # replayed batch (failure between sink and commit). The
+        if last_id is not None and batch_id == last_id:
+            # replayed batch (failure between sink and commit) — a
+            # genuine replay re-runs exactly the LAST committed id. The
             # crash may have landed BETWEEN the state commit and the
             # schema write — regenerate from the committed state so
             # schema.json can never stay a batch behind.
             write_schema(prev)
             return
+        if last_id is not None and batch_id < last_id:
+            # an intact checkpoint never goes backwards: the checkpoint
+            # was cleaned or replaced (batch ids restarted) — merging
+            # would skip/double-count; refuse instead
+            raise RuntimeError(
+                f"stream batch id {batch_id} is behind the committed "
+                f"state (last_batch_id={last_id}) at {state_path}: the "
+                "checkpoint was reset. Restore it, or start a fresh "
+                "state_path.")
         res = infer_json_column(batch_df, column, ctx)
         try:
             merged = merge(prev, res.state, ctx)
-            store.write(merged, ok + res.n_ok, err + res.n_err, batch_id)
+            store.write(merged, ok + res.n_ok, err + res.n_err, batch_id,
+                        checkpoint_dir=ckpt)
             write_schema(merged)
         finally:
             # one cached scan per micro-batch would otherwise accumulate

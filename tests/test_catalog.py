@@ -45,6 +45,21 @@ def test_read_table_argument_contract(spark, sf_dir):
         read_table(spark, path=f"{sf_dir}/orders.parquet", snapshot_id=1)
 
 
+def test_snapshot_options_on_session_catalog_are_loud(spark, sf_dir):
+    """snapshot-id / start-snapshot-id are plain reader options a
+    non-Iceberg source silently ignores — reading the CURRENT state
+    instead of the pinned snapshot. Both entry points must refuse
+    unless the table's catalog is explicitly configured (r05 review)."""
+    from schema_guru_spark.sources.catalog import read_table_appends
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("orders_snap_tbl")
+    with pytest.raises(ValueError, match="configured Iceberg catalog"):
+        read_table(spark, table="orders_snap_tbl", snapshot_id=1)
+    with pytest.raises(ValueError, match="configured Iceberg catalog"):
+        read_table_appends(spark, table="orders_snap_tbl",
+                           from_snapshot_id=1)
+
+
 def test_run_validation_reads_through_catalog(spark, repo_df, capsys):
     # the job entry point resolves --table through read_table
     import json

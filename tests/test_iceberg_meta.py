@@ -726,6 +726,59 @@ def test_dropped_partition_source_column_is_skipped():
     assert _identity_fields(meta, 0) == {"repo": "repo"}
 
 
+def test_identity_date_filter_accepts_iso_and_int(tmp_path, spark):
+    """Identity pruning on a date column must compare in the STORED
+    representation (days from epoch): an ISO string / date object
+    filter used to fail raw equality against int days and silently
+    prune EVERY file — an empty read instead of a full one
+    (r05 review). Garbage strings stay non-prunable (kept)."""
+    import datetime
+    from schema_guru_spark.sources.iceberg_meta import (append_snapshot,
+                                                        plan_scan,
+                                                        read_iceberg)
+    tp = str(tmp_path / "dated")
+    rows = [{"repo": f"r{i}", "dt": i % 3, "content": "{}"}
+            for i in range(12)]
+    append_snapshot(tp, rows, [("repo", "string"), ("dt", "date"),
+                               ("content", "string")],
+                    partition_by="dt")
+    assert len(plan_scan(tp).data) == 3
+    for flt in ("1970-01-02", datetime.date(1970, 1, 2), 1):
+        assert len(plan_scan(tp, partition_filter={"dt": flt}).data) == 1
+        assert read_iceberg(spark, tp,
+                            partition_filter={"dt": flt}).count() == 4
+    # non-digestible filter value: not prunable, never excluded
+    assert len(plan_scan(tp, partition_filter={"dt": "zzz"}).data) == 3
+    # type-mismatched scalar against a string identity column likewise
+    tp2 = str(tmp_path / "strident")
+    append_snapshot(tp2, [{"repo": f"r{i % 2}", "dt": 0,
+                           "content": "{}"} for i in range(4)],
+                    [("repo", "string"), ("dt", "date"),
+                     ("content", "string")], partition_by="repo")
+    assert len(plan_scan(tp2, partition_filter={"repo": 5}).data) == 2
+
+
+def test_position_deletes_apply_under_uri_escaped_path(tmp_path, spark):
+    """Spark's _metadata.file_path is URI-percent-encoded; manifest and
+    delete-file paths are raw. A space in the table path used to make
+    the per-file sequence join miss, so deletes silently un-applied
+    (30 rows instead of 28) — r05 review."""
+    import pyarrow.parquet as pq
+    from schema_guru_spark.sources.iceberg_meta import (append_snapshot,
+                                                        delete_positions,
+                                                        plan_scan,
+                                                        read_iceberg)
+    tp = str(tmp_path / "my tables" / "mor")
+    append_snapshot(tp, _rows(30, "c1"), SCHEMA, partition_by="lang")
+    victim = sorted(plan_scan(tp).data, key=lambda f: f.path)[0]
+    tbl = pq.read_table(victim.path).to_pylist()
+    gone = {tbl[0]["path"], tbl[3]["path"]}
+    delete_positions(tp, [(victim.path, 0), (victim.path, 3)])
+    df = read_iceberg(spark, tp)
+    assert df.count() == 28
+    assert df.where(df["path"].isin(list(gone))).count() == 0
+
+
 def test_identity_timestamp_partition_roundtrip(tmp_path, spark):
     """Identity-partitioning by a timestamp column: the same commit
     that taught the writer timestamp COLUMNS must also write the

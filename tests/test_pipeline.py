@@ -76,7 +76,7 @@ def test_sha_invariant_violations(spark, tmp_path):
     df = spark.read.parquet(p)
     res = validate_repo_table(spark, df, n_buckets=4)
     sha_bad = res.verdicts.agg(F.sum("n_sha_bad")).collect()[0][0]
-    assert sha_bad > 0
+    assert sha_bad == 10  # exact planting (r05: was binomial-in-expectation)
     v = res.violations.where(F.col("detail") == "sha256 mismatch")
     assert v.count() == sha_bad
 

@@ -96,6 +96,29 @@ def test_incremental_state_replay_is_idempotent(tmp_path):
     assert last is not None and 0 <= last
 
 
+def test_incremental_state_pins_checkpoint_lineage(spark, tmp_path):
+    """Batch ids are only comparable within one checkpoint lineage:
+    reusing a state file against a DIFFERENT checkpoint dir must fail
+    loudly instead of treating the new stream's batches 0..N as
+    replays (r05 review)."""
+    import os
+    import pytest
+    from schema_guru_spark.streaming.infer_stream import IncrementalSchemaState
+    p = str(tmp_path / "state.json")
+    store = IncrementalSchemaState(p)
+    ck1 = os.path.abspath(str(tmp_path / "ck1"))
+    store.write({}, 5, 0, 40, checkpoint_dir=ck1)
+    assert store.checkpoint_dir() == ck1
+    dummy = spark.range(1).withColumnRenamed("id", "content")
+    with pytest.raises(ValueError, match="belongs to checkpoint"):
+        run_incremental_inference(dummy, "content", CTX, p,
+                                  str(tmp_path / "ck2"))
+    # legacy state files (no pin) stay usable with any checkpoint:
+    # the guard only fires once a pin exists
+    store.write({}, 5, 0, 40)
+    assert store.checkpoint_dir() is None
+
+
 def test_windowed_violation_counts_with_watermark(spark, tmp_path):
     from schema_guru_spark.streaming.infer_stream import (
         windowed_violation_counts)
