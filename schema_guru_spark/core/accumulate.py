@@ -188,7 +188,12 @@ def _accumulate_cold(acc: dict, value: Any, ctx: SchemaContext,
             arr["items"] = _merge(arr["items"], fresh, ctx)
         return acc
     if isinstance(value, float):
-        en = construct_enum(float(value), ctx)
+        value = float(value)
+        if value == 0.0:
+            # signed-zero normalization, exactly as annotate_number:
+            # -0.0 entering min/max would make tie-keeping order-visible
+            value = 0.0
+        en = construct_enum(value, ctx)
         it = acc.pop("int", None)
         num = acc.get("num")
         if num is None and it is not None:

@@ -103,8 +103,18 @@ def annotate_integer(value: int, ctx: SchemaContext) -> dict:
 
 
 def annotate_number(value: float, ctx: SchemaContext) -> dict:
-    """SchemaGenerator.scala:267-275."""
+    """SchemaGenerator.scala:267-275.
+
+    Signed zero is normalized (-0.0 -> 0.0) before it can enter any
+    state: bounds updates keep the first-seen representative on ties
+    (strict </>), so two representations of the same value would make
+    the merge order-sensitive — the one counterexample to the
+    commutative-monoid law the distributed tree-reduction depends on
+    (found by the round-5 kernel fuzz; JSON Schema numeric comparison
+    is mathematical, so validation semantics are unchanged)."""
     v = float(value)
+    if v == 0.0:
+        v = 0.0
     return {"min": v, "max": v, "enum": construct_enum(v, ctx)}
 
 

@@ -128,6 +128,29 @@ def test_merge_commutative_and_associative(docs):
     assert canon(fwd) == canon(rev) == canon(tree)
 
 
+def test_signed_zero_is_normalized_and_order_invariant():
+    """Round-5 kernel-fuzz finding: -0.0 and 0/0.0 compare equal, and
+    bounds updates keep the first-seen representative on strict-</>
+    ties, so an un-normalized signed zero made BOTH kernels emit
+    '-0.0' or '0.0' depending on value order (and the batch fold's
+    floats-before-ints replay order) — an order-visible rendered
+    schema, i.e. a real counterexample to the commutative-monoid law.
+    Both float entry points (annotate_number, the accumulate cold
+    branch) now normalize -0.0 -> 0.0 before any state is written."""
+    from schema_guru_spark.core.accumulate import accumulate_doc
+    from schema_guru_spark.core.accumulate_batch import fold_docs
+    docs = [[0, -0.0], [-0.0, 0], [0.0, -0.0], [-0.0, 0.0],
+            [-0.0], {"k": [False, 0, -0.0]}]
+    for d in docs:
+        row = dumps(accumulate_doc({}, d, CTX))
+        batch = dumps(fold_docs({}, [d], CTX))
+        assert row == batch
+        assert "-0.0" not in row
+    a, _ = derive([-0.0], CTX)
+    b, _ = derive([0.0], CTX)
+    assert dumps(merge_all([a, b], CTX)) == dumps(merge_all([b, a], CTX))
+
+
 def test_enum_merge_is_order_sensitive_by_reference_semantics():
     """The counterexample hypothesis found (2026-08-18), kept as a pin:
     the reference's concat-size-before-distinct rule makes enum merge
