@@ -22,6 +22,13 @@ def enum_key(v: Any) -> str:
     if isinstance(v, int):
         return "i:" + str(v)
     if isinstance(v, float):
+        # signed zero: -0.0 == 0.0 mathematically and the kernel
+        # normalizes -0.0 away at every float entry point
+        # (annotate_number / accumulate), so the identity key must not
+        # resurrect the distinction — validate(-0.0) against enum [0.0]
+        # has to match (round-5 kernel-fuzz finding)
+        if v == 0.0:
+            v = 0.0
         return "d:" + repr(v)
     if v is None:
         return "n:"

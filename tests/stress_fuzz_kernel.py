@@ -52,6 +52,19 @@ FORMAT_POOL = [
     "2024-13-40T99:99:99", "2024-01-02", "03:04:05",
     "aGVsbG8gd29ybGQ=", "QUJDRA==", "not base64!!",
     "", " ", "\n", "é中文", "a" * 40,
+    # ISO near-misses / oddballs that split regex-vs-fromisoformat
+    "2024-01-02T03:04:05", "2024-01-02T03", "2024-01-02T03:04:05+05:30",
+    "2024-01-02 03:04:05", "20240102T030405", "2024-01-02T03:04:05,5",
+    "0001-01-01T00:00:00", "9999-12-31T23:59:59.999999",
+    "2024-02-30T00:00:00", "2024-01-02T24:00:00",
+    # base64-shaped near-misses (padding / charset / length)
+    "QUJDRA=", "QUJDRA===", "QUJD RA==", "QQ==", "====",
+    # uuid near-misses
+    "123E4567-E89B-12D3-A456-426614174000",
+    "123e4567e89b12d3a456426614174000",
+    "g23e4567-e89b-12d3-a456-426614174000",
+    # ip near-misses
+    "1.2.3", "1.2.3.4.5", "01.2.3.4", " 1.2.3.4", "::", ":::",
 ]
 
 EDGE_NUMBERS = [0, -1, 1, 2**31 - 1, -(2**31), 2**53 - 1, -(2**53) + 1,
@@ -93,6 +106,37 @@ def gen_doc(rng: random.Random):
         return {"".join(rng.choice(KEY_CHARS) for _ in range(rng.randint(1, 8))):
                 gen_value(rng, depth) for _ in range(rng.randint(0, 5))}
     return [gen_value(rng, depth) for _ in range(rng.randint(0, 5))]
+
+
+def _has_partial_enum_node(state: dict) -> bool:
+    """True if any node carries a LIVE enum on some scalar kind while
+    also admitting instances the enum can't contain: a container
+    (obj/arr), bool, null, or another scalar kind whose own enum is
+    tombstoned. Render emits the union of the live enums on such
+    product nodes (reference render parity), so strict enum semantics
+    reject the node's non-member instances — the one shape excluded
+    from the L1-enum self-validation law."""
+    if not isinstance(state, dict):
+        return False
+    live_enum = any(
+        isinstance(state.get(k), dict) and state[k].get("enum")
+        for k in ("str", "int", "num"))
+    if live_enum:
+        if "obj" in state or "arr" in state or "bool" in state \
+                or "null" in state:
+            return True
+        if any(isinstance(state.get(k), dict)
+               and not state[k].get("enum")
+               for k in ("str", "int", "num")):
+            return True
+    sub = state.get("obj")
+    if sub is not None and any(_has_partial_enum_node(v)
+                               for v in sub.get("props", {}).values()):
+        return True
+    sub = state.get("arr")
+    if sub is not None and _has_partial_enum_node(sub.get("items", {})):
+        return True
+    return False
 
 
 def canon(s):
@@ -138,6 +182,23 @@ def main() -> int:
                 # L5: state roundtrip (enum ctx keeps enum payloads live)
                 se, _ = derive(d, ctxs[1])
                 assert loads(dumps(se)) == se, (args.seed, d)
+                # L1-enum: an enum-bearing derived schema still
+                # validates its own instance — EXCEPT nodes where a
+                # container kind shares an items/props node with an
+                # enum-bearing scalar: render then emits an enum that
+                # object/array instances can't be members of (reference
+                # render parity — products carry their scalar enums),
+                # so strict enum semantics reject the source container.
+                if not _has_partial_enum_node(se):
+                    assert validate(d, render(se, ctxs[1])) == [], \
+                        (args.seed, d)
+
+            # L6: malformed-text error path never raises, never derives
+            junk = "".join(rng.choice(string.printable)
+                           for _ in range(rng.randint(0, 30)))
+            from schema_guru_spark.core.microschema import derive_text
+            sch_t, err_t = derive_text(junk, ctx0)
+            assert (sch_t is None) != (err_t is None), (args.seed, junk)
 
             # L2: enum-off merge laws over the batch
             schemas = [derive(d, ctx0)[0] for d in batch]

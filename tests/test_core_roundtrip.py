@@ -149,6 +149,13 @@ def test_signed_zero_is_normalized_and_order_invariant():
     a, _ = derive([-0.0], CTX)
     b, _ = derive([0.0], CTX)
     assert dumps(merge_all([a, b], CTX)) == dumps(merge_all([b, a], CTX))
+    # validator side: enum identity keys must not resurrect the
+    # distinction — a -0.0 instance satisfies enum [0.0] (and vice
+    # versa), same mathematical-equality rule as 1.0 vs enum [1]
+    s, _ = derive([-0.0], CTX_ENUM)
+    assert validate(-0.0, render(s, CTX_ENUM)["items"]) == []
+    assert validate(0.0, render(s, CTX_ENUM)["items"]) == []
+    assert validate(0, render(s, CTX_ENUM)["items"]) == []
 
 
 def test_enum_merge_is_order_sensitive_by_reference_semantics():
