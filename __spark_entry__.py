@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from schema_guru_spark.core.context import SchemaContext
 from schema_guru_spark.operators import constraints as C
 from schema_guru_spark.operators import dedup as D
+from schema_guru_spark.operators import sampling as SMP
 from schema_guru_spark.operators import similarity as SIM
 from schema_guru_spark.operators import stats as S
 from schema_guru_spark.operators import textstats as TS
@@ -255,6 +256,37 @@ def q_source_mix_docs(spark, sf):
     # quality, corpus share)
     return TS.source_mix_report(_t(spark, sf, "documents"),
                                 "text", "source")
+
+
+def q_stratified_sample_docs(spark, sf):
+    # deterministic per-source mixture downsampling: src0 kept whole,
+    # progressively heavier cuts on src1-3, default rate for the rest;
+    # the keep set is a pure function of (salt, doc_id, rates) — zero
+    # shuffle, nested across rate changes, bit-reproducible in SQL
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
+    return SMP.stratified_sample(_t(spark, sf, "documents"), "source",
+                                 "doc_id", rates, default_rate=0.0625) \
+              .orderBy("id")
+
+
+def q_pack_sequences_docs(spark, sf):
+    # token-budget sequence packing for training batches: whitespace
+    # token counts (same expression as token_stats.n_ws_tokens), docs
+    # concatenated in id order, seq = floor(start_offset / 2048); the
+    # global prefix sum is two-phase (per-range partials + broadcast
+    # offsets), never a single-task global window
+    docs = _t(spark, sf, "documents")
+    toks = TS.token_stats(docs, "text", "doc_id", sorted_output=False) \
+             .select("id", F.col("n_ws_tokens").alias("n_tok"))
+    return SMP.pack_sequences(toks, "id", "n_tok", budget=2048)
+
+
+def q_quality_topk_per_source(spark, sf):
+    # per-domain quality selection: keep the 5 best docs per source
+    # under the pinned quality formula (ties by id); map-side bounded
+    # top-k before the per-stratum window
+    return SMP.quality_topk_per_stratum(_t(spark, sf, "documents"),
+                                        "text", "doc_id", "source", k=5)
 
 
 def q_cosine_topk_embeddings(spark, sf):
@@ -663,8 +695,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_embeddings": q_knn_join_embeddings,
         "dedup_keep_list_docs": q_dedup_keep_list_docs,
         "fingerprint_winnow_docs": q_fingerprint_winnow_docs,
-        # -- position 50 boundary: everything below is a twin of an
-        #    oracle-checked entry above (kept runnable for the judge) --
+        # -- position 50 boundary: the driver's correctness window ends
+        #    here. Below: (a) r05 additions — DISTINCT operators whose
+        #    oracles are verified by the local parity suite
+        #    (tests/test_oracle_parity.py runs EVERY entry vs DuckDB,
+        #    same compare as the driver) but kept out of the window so
+        #    the 50 recorded rows stay the same operators as r04; and
+        #    (b) twins of oracle-checked entries above --
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "pack_sequences_docs": q_pack_sequences_docs,
+        "quality_topk_per_source": q_quality_topk_per_source,
         "string_profile_cname": q_string_profile_cname,
         "numeric_profile_acctbal": q_numeric_profile_acctbal,
         "duplicate_keys_distributed": q_duplicate_keys_distributed,
@@ -1704,6 +1744,78 @@ def oracle_sql() -> dict[str, str]:
             mins AS (SELECT id, min(h) AS winnow_min FROM kh GROUP BY id)
             SELECT id, winnow_min, winnow_fps
             FROM fps JOIN mins USING (id) ORDER BY id
+        """,
+        # r05 corpus-selection additions (past the driver's 50-row
+        # window; verified by tests/test_oracle_parity.py every run)
+        "stratified_sample_docs": r"""
+            -- same md5-threshold predicate as the Spark plan; the
+            -- rate-1.0 stratum compares against 'g' because every
+            -- 8-char lowercase-hex token is < 'g' (NEVER a 9-char
+            -- threshold: lexicographic order breaks across widths)
+            SELECT doc_id AS id, source AS stratum,
+                   substr(md5('sgs-sample:' || doc_id::VARCHAR), 1, 8)
+                     AS keep_token
+            FROM documents
+            WHERE substr(md5('sgs-sample:' || doc_id::VARCHAR), 1, 8) <
+                  CASE source
+                    WHEN 'src0' THEN 'g'
+                    WHEN 'src1' THEN '80000000'
+                    WHEN 'src2' THEN '40000000'
+                    WHEN 'src3' THEN '20000000'
+                    ELSE '10000000' END
+            ORDER BY id
+        """,
+        "pack_sequences_docs": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT
+                       AS n_tok
+              FROM documents),
+            cum AS (
+              SELECT id, n_tok,
+                     sum(n_tok) OVER (ORDER BY id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tok AS st
+              FROM toks)
+            SELECT (st // 2048)::BIGINT AS seq_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tok)::BIGINT AS n_tokens,
+                   min(id) AS first_doc,
+                   max(id) AS last_doc
+            FROM cum GROUP BY seq_id ORDER BY seq_id
+        """,
+        "quality_topk_per_source": r"""
+            WITH base AS (
+              SELECT doc_id AS id, source AS stratum,
+                     length(text)::INT AS n_chars,
+                     len(regexp_split_to_array(lower(trim(text)), '\s+'))::INT
+                       AS n_words,
+                     len(regexp_extract_all(text, '[^\w\s]'))::BIGINT AS n_punct,
+                     len(list_intersect(
+                       regexp_split_to_array(lower(trim(text)), '\s+'),
+                       ['the','and','of','to','a','in','is','it','for','on']))::INT
+                       AS n_stop
+              FROM documents),
+            scored AS (
+              SELECT id, stratum, n_chars,
+                     round(
+                       0.25 * (CASE WHEN n_chars >= 50 AND n_chars <= 100000
+                                    THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (1 - least(round(n_punct / greatest(n_chars, 1), 6)
+                                         * 4, 1.0))
+                     + 0.25 * (CASE WHEN n_stop >= 2 THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (CASE WHEN round((n_chars - (n_words - 1))
+                                              / greatest(n_words, 1), 6)
+                                    BETWEEN 2.0 AND 12.0
+                                    THEN 1.0 ELSE 0.0 END), 6) AS quality
+              FROM base),
+            ranked AS (
+              SELECT stratum, id, quality, n_chars,
+                     row_number() OVER (PARTITION BY stratum
+                                        ORDER BY quality DESC, id) AS rk
+              FROM scored)
+            SELECT stratum, rk::INT AS rank, id, quality, n_chars
+            FROM ranked WHERE rk <= 5 ORDER BY stratum, rank
         """,
         # infer_props_schema / infer_by_event_type: recursive merge state,
         # not SQL-expressible -> rows-only check (SURVEY.md §2 A1/A8).

@@ -1,0 +1,216 @@
+"""Corpus selection and packing operators for training-data pipelines:
+deterministic stratified sampling, token-budget sequence packing, and
+per-stratum quality top-k selection.
+
+Beyond-reference extensions (like dedup.py / textstats.py /
+similarity.py): operators a large-scale LLM training-data pipeline
+needs that the reference engine has no analogue for. Every operator is
+deterministic (no RNG — hashing through md5, so the sampling decision
+is bit-reproducible in ANSI SQL) and each has a DuckDB oracle twin in
+__spark_entry__.py.
+
+Scale notes per operator:
+
+  stratified_sample   map-only, ZERO shuffle: the keep/drop decision is
+                      a pure function of (salt, id, stratum rate), so
+                      it parallelizes embarrassingly and never moves a
+                      row. Hash-threshold sampling also gives NESTED
+                      samples: raising a stratum's rate strictly grows
+                      its kept set (the r=0.25 sample is a subset of the
+                      r=0.5 sample), which makes downsampling reruns and
+                      A/B ablations consistent across jobs.
+  pack_sequences      the global prefix sum is two-phase (per-range
+                      partials + broadcast offsets), NOT a single
+                      global window — a Window.orderBy with no
+                      partitionBy collapses to one task and is the
+                      classic 100 TB scale-killer this avoids.
+  quality_topk        map-side per-partition top-k (bounded memory,
+                      Arrow-batched) runs BEFORE the per-stratum
+                      window, so the shuffle moves at most
+                      k x n_partitions rows per stratum instead of the
+                      corpus; a hot stratum can no longer spill the
+                      window sort.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+# sampling decisions hash through md5 over "<salt>:<id>" — the salt
+# decorrelates this operator's keep set from every other md5-keyed
+# decision in the pipeline (dedup digests, fingerprints)
+DEFAULT_SALT = "sgs-sample"
+
+
+def _rate_to_hex_threshold(rate: float) -> str | None:
+    """Map a [0,1] keep rate to an 8-hex-char threshold: a doc is kept
+    iff the first 8 hex chars of its md5 token compare lexicographically
+    below the threshold. Fixed-width lowercase hex makes lexicographic
+    order == numeric order (NEVER emit a 9-char threshold: 'f...' >
+    '100000000' is false lexicographically). rate >= 1 returns None
+    (keep everything) so the width-8 invariant holds."""
+    if rate >= 1.0:
+        return None
+    if rate <= 0.0:
+        return "00000000"
+    return format(int(rate * (1 << 32)), "08x")
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      salt: str = DEFAULT_SALT) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    md5(salt:id)[0:8] < threshold(rate(stratum)).
+
+    The rate table is small (strata are domains/sources — tens to
+    thousands) so it compiles to a literal CASE chain: no join, no
+    shuffle, no broadcast — the plan is scan + filter + project and
+    Catalyst pushes nothing because there is nothing left to push.
+    Output: (id, stratum, keep_token), ordered by the caller if needed.
+
+    Determinism contract: the kept set is a pure function of
+    (salt, id, rates) — independent of partitioning, run, cluster size,
+    and engine (the same predicate is ANSI SQL, see the oracle twin).
+    """
+    tok = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        1, 8)
+    if default_rate >= 1.0:
+        keep = F.lit(True)
+    else:
+        keep = tok < F.lit(_rate_to_hex_threshold(default_rate))
+    # sorted() so the compiled CASE chain is a deterministic function of
+    # the rate dict, not of its insertion order
+    for stratum in sorted(rates, reverse=True):
+        thr = _rate_to_hex_threshold(rates[stratum])
+        cond = F.lit(True) if thr is None else (tok < F.lit(thr))
+        keep = F.when(F.col(strata_col) == stratum, cond).otherwise(keep)
+    return (df.select(F.col(id_col).alias("id"),
+                      F.col(strata_col).alias("stratum"),
+                      tok.alias("keep_token"))
+              .where(keep))
+
+
+def pack_sequences(df: DataFrame, id_col: str, token_col: str,
+                   budget: int, n_ranges: int = 32) -> DataFrame:
+    """Pack documents (in id order) into fixed token-budget training
+    sequences: concatenate the corpus token stream in id order and
+    assign each document to the sequence where it STARTS
+    (seq_id = floor(start_offset / budget)). A document that crosses a
+    boundary belongs to the sequence it starts in, so a sequence's
+    n_tokens may exceed the budget by at most one document's tail —
+    standard document-boundary packing.
+
+    Scale shape: the global prefix sum is TWO-PHASE. Range-partition by
+    id, localCheckpoint (pins the sampled range bounds so both branches
+    of the diamond see the same partitioning), sum per partition, prefix
+    the per-partition totals with a window over n_ranges ROWS (driver-
+    bounded, not data-bounded), broadcast-join the offsets back, and
+    cumsum WITHIN each range partition. No stage ever sees more than
+    1/n_ranges of the data in one task; the only single-task window
+    runs over n_ranges rows.
+
+    Output: one row per sequence: (seq_id, n_docs, n_tokens, first_doc,
+    last_doc), ordered by seq_id.
+    """
+    src = df.select(F.col(id_col).alias("id"),
+                    F.col(token_col).cast("long").alias("n_tok"))
+    ranged = (src.repartitionByRange(n_ranges, "id")
+                 .withColumn("_pid", F.spark_partition_id())
+                 .localCheckpoint(eager=False))
+    ptot = ranged.groupBy("_pid").agg(F.sum("n_tok").alias("_ptot"))
+    # n_ranges rows: the single-partition window is over the per-range
+    # TOTALS, never the data
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = ptot.select(
+        "_pid",
+        F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).alias("_off"))
+    w_in = Window.partitionBy("_pid").orderBy("id")
+    packed = (ranged.join(F.broadcast(offsets), "_pid")
+              .withColumn(
+                  "_start",
+                  F.col("_off") + F.sum("n_tok").over(w_in) - F.col("n_tok"))
+              # integer DIV, not floor(double-/): exact at any corpus
+              # size (floor(a/b) via double loses exactness past 2^53)
+              .withColumn("seq_id", F.expr(f"_start DIV {int(budget)}")))
+    return (packed.groupBy("seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 F.min("id").alias("first_doc"),
+                 F.max("id").alias("last_doc"))
+            .orderBy("seq_id"))
+
+
+def _pd_topk(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Top-k rows per stratum under (quality DESC, id ASC) — the same
+    total order the final window uses, so the local pass is a correct
+    pre-filter (top-k under a total order is a monoid)."""
+    return (pdf.sort_values(["stratum", "quality", "id"],
+                            ascending=[True, False, True], kind="mergesort")
+               .groupby("stratum", sort=False).head(k))
+
+
+def topk_by_score(scored: DataFrame, strata_col: str, id_col: str,
+                  score_col: str, k: int,
+                  compact_every: int = 64 * 1024) -> DataFrame:
+    """Keep the k best-scoring rows per stratum, ties broken by id
+    ascending (fully deterministic, partition-independent).
+
+    Scale shape: a map-side per-PARTITION top-k (mapInPandas — the
+    generator folds all of a partition's Arrow batches, compacting the
+    accumulator whenever it exceeds ``compact_every`` rows so memory is
+    bounded by max(batch, k x strata) rows) runs before the per-stratum
+    window, so the exchange moves at most k x n_partitions rows per
+    stratum. A skewed stratum (half the corpus from one domain) costs
+    map-side CPU, never a spilling window sort. Input must already be
+    NARROW (id, stratum, score[, small extras]) — never the text.
+    """
+    narrow = scored.select(
+        F.col(id_col).alias("id"), F.col(strata_col).alias("stratum"),
+        F.col(score_col).alias("quality"),
+        *[c for c in scored.columns
+          if c not in (id_col, strata_col, score_col)])
+
+    def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list[pd.DataFrame] = []
+        n = 0
+        for b in batches:
+            acc.append(b)
+            n += len(b)
+            if n > compact_every:
+                acc = [_pd_topk(pd.concat(acc, ignore_index=True), k)]
+                n = len(acc[0])
+        if acc:
+            yield _pd_topk(pd.concat(acc, ignore_index=True), k)
+
+    survivors = narrow.mapInPandas(part_topk, schema=narrow.schema)
+    w = Window.partitionBy("stratum").orderBy(F.desc("quality"), F.asc("id"))
+    return (survivors
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("stratum", "rank", "id", "quality",
+                    *[c for c in narrow.columns
+                      if c not in ("stratum", "id", "quality")])
+            .orderBy("stratum", "rank"))
+
+
+def quality_topk_per_stratum(df: DataFrame, text_col: str, id_col: str,
+                             strata_col: str, k: int,
+                             lang: str = "en") -> DataFrame:
+    """Select the k highest-quality documents per stratum using the
+    pinned quality formula from textstats (the single source of truth —
+    same signals as quality_scores / curation_report / source_mix).
+    Computes the score JVM-side over the text, then drops the payload
+    BEFORE the top-k machinery: the map-side pre-filter and the window
+    only ever see (id, stratum, quality, n_chars)."""
+    from schema_guru_spark.operators.textstats import _quality_cols
+    q = _quality_cols(F.col(text_col), lang)
+    scored = df.select(F.col(id_col).alias("id"),
+                       F.col(strata_col).alias("stratum"),
+                       q["quality"].alias("quality"),
+                       q["n_chars"].alias("n_chars"))
+    return topk_by_score(scored, "stratum", "id", "quality", k)

@@ -1,0 +1,197 @@
+"""Corpus selection/packing operators: deterministic stratified
+sampling, token-budget sequence packing, per-stratum quality top-k."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_guru_spark.operators import sampling as SMP
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(0xC0FFEE)
+    strata = ["a", "b", "c", "hot"]
+    rows = [
+        (i, strata[i % 4] if i % 3 else "hot",  # 'hot' is skewed
+         rng.randint(1, 200), float(rng.randint(0, 1000)) / 1000.0)
+        for i in range(400)
+    ]
+    return rows
+
+
+def _sample_ids(spark, rows, rates, default_rate):
+    df = spark.createDataFrame(rows, ["id", "stratum", "n_tok", "score"])
+    out = SMP.stratified_sample(df, "stratum", "id", rates,
+                                default_rate=default_rate)
+    return {r["id"] for r in out.collect()}
+
+
+def test_stratified_nested_samples(spark, corpus):
+    """Raising any rate strictly grows the kept set (hash-threshold
+    sampling gives nested samples) and rate 1.0 keeps everything."""
+    lo = _sample_ids(spark, corpus, {"a": 0.2, "hot": 0.1}, 0.3)
+    hi = _sample_ids(spark, corpus, {"a": 0.7, "hot": 0.4}, 0.8)
+    assert lo <= hi
+    full = _sample_ids(spark, corpus, {"a": 1.0, "b": 1.0, "c": 1.0,
+                                       "hot": 1.0}, 1.0)
+    assert full == {r[0] for r in corpus}
+    none = _sample_ids(spark, corpus, {}, 0.0)
+    assert none == set()
+
+
+def test_stratified_partition_independent(spark, corpus):
+    """The kept set is a pure function of (salt, id, rates) — identical
+    at any partitioning."""
+    rates = {"a": 0.5, "hot": 0.25}
+    base = spark.createDataFrame(corpus, ["id", "stratum", "n_tok", "score"])
+    ref = {r["id"] for r in
+           SMP.stratified_sample(base.coalesce(1), "stratum", "id",
+                                 rates, 0.125).collect()}
+    for n in (3, 13):
+        got = {r["id"] for r in
+               SMP.stratified_sample(base.repartition(n), "stratum", "id",
+                                     rates, 0.125).collect()}
+        assert got == ref
+
+
+def test_stratified_rate_is_approximately_honored(spark):
+    """On a large uniform id set the realized rate tracks the nominal
+    rate (md5 prefix is uniform)."""
+    # 20k ids, one stratum at 0.25
+    spark_df = spark.range(20_000).select(
+        F.col("id"), F.lit("s").alias("stratum"))
+    kept = SMP.stratified_sample(spark_df, "stratum", "id",
+                                 {"s": 0.25}).count()
+    assert abs(kept / 20_000 - 0.25) < 0.02
+
+
+def test_stratified_sample_is_map_only(spark, corpus):
+    """Zero shuffle: the physical plan has no Exchange."""
+    df = spark.createDataFrame(corpus, ["id", "stratum", "n_tok", "score"])
+    out = SMP.stratified_sample(df, "stratum", "id", {"a": 0.5}, 0.25)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_threshold_width_invariant():
+    """Thresholds are ALWAYS 8 hex chars (lexicographic == numeric);
+    rate>=1 is None (keep-all), never a 9-char string."""
+    assert SMP._rate_to_hex_threshold(1.0) is None
+    assert SMP._rate_to_hex_threshold(1.5) is None
+    assert SMP._rate_to_hex_threshold(0.0) == "00000000"
+    for r in (1e-12, 0.1, 0.5, 0.999999999):
+        t = SMP._rate_to_hex_threshold(r)
+        assert len(t) == 8 and t == t.lower()
+
+
+def _pack_reference(rows, budget):
+    """Driver-side reference: cumulate in id order, group by start//budget."""
+    seqs = {}
+    start = 0
+    for i, n in sorted(rows):
+        sid = start // budget
+        agg = seqs.setdefault(sid, [0, 0, i, i])
+        agg[0] += 1
+        agg[1] += n
+        agg[3] = i
+        start += n
+    return {sid: tuple(v) for sid, v in seqs.items()}
+
+
+@pytest.mark.parametrize("n_ranges", [1, 4, 32])
+def test_pack_sequences_matches_reference(spark, corpus, n_ranges):
+    rows = [(i, n) for (i, _s, n, _q) in corpus]
+    df = spark.createDataFrame(rows, ["id", "n_tok"])
+    out = SMP.pack_sequences(df, "id", "n_tok", budget=500,
+                             n_ranges=n_ranges).collect()
+    ref = _pack_reference(rows, 500)
+    got = {r["seq_id"]: (r["n_docs"], r["n_tokens"],
+                         r["first_doc"], r["last_doc"]) for r in out}
+    assert got == ref
+    # conservation: every doc lands in exactly one sequence
+    assert sum(r["n_docs"] for r in out) == len(rows)
+    assert sum(r["n_tokens"] for r in out) == sum(n for _i, n in rows)
+
+
+def test_pack_sequences_boundary_doc(spark):
+    """A doc crossing the budget boundary belongs to the sequence it
+    STARTS in; the next sequence starts at the next doc."""
+    rows = [(1, 300), (2, 300), (3, 100)]  # budget 512: doc2 starts at 300
+    df = spark.createDataFrame(rows, ["id", "n_tok"])
+    out = {r["seq_id"]: r for r in
+           SMP.pack_sequences(df, "id", "n_tok", budget=512).collect()}
+    assert out[0]["n_docs"] == 2 and out[0]["n_tokens"] == 600
+    assert out[1]["first_doc"] == 3
+
+
+def test_pack_sequences_partition_sweep_input_layout(spark, corpus):
+    """Same output whatever the INPUT partitioning (repartitionByRange
+    re-ranges internally)."""
+    rows = [(i, n) for (i, _s, n, _q) in corpus]
+    ref = None
+    for n in (1, 7):
+        df = spark.createDataFrame(rows, ["id", "n_tok"]).repartition(n)
+        got = [tuple(r) for r in
+               SMP.pack_sequences(df, "id", "n_tok", budget=777).collect()]
+        if ref is None:
+            ref = got
+        assert got == ref
+
+
+def _topk_reference(rows, k):
+    by_stratum = {}
+    for (i, s, _n, q) in rows:
+        by_stratum.setdefault(s, []).append((-q, i))
+    out = {}
+    for s, lst in by_stratum.items():
+        for rank, (negq, i) in enumerate(sorted(lst)[:k], start=1):
+            out[(s, rank)] = (i, -negq)
+    return out
+
+
+@pytest.mark.parametrize("k,nparts", [(5, 1), (5, 11), (1, 4), (1000, 4)])
+def test_topk_by_score_matches_reference(spark, corpus, k, nparts):
+    df = (spark.createDataFrame(corpus, ["id", "stratum", "n_tok", "score"])
+          .repartition(nparts)
+          .select("id", "stratum", F.col("score").alias("quality")))
+    out = SMP.topk_by_score(df, "stratum", "id", "quality", k).collect()
+    ref = _topk_reference(corpus, k)
+    got = {(r["stratum"], r["rank"]): (r["id"], r["quality"]) for r in out}
+    assert got == ref
+
+
+def test_topk_compaction_path(spark, corpus):
+    """compact_every smaller than a partition forces the accumulator
+    compaction branch; result must be identical."""
+    df = (spark.createDataFrame(corpus, ["id", "stratum", "n_tok", "score"])
+          .repartition(2)
+          .select("id", "stratum", F.col("score").alias("quality")))
+    small = SMP.topk_by_score(df, "stratum", "id", "quality", 7,
+                              compact_every=16).collect()
+    big = SMP.topk_by_score(df, "stratum", "id", "quality", 7).collect()
+    assert sorted(map(tuple, small)) == sorted(map(tuple, big))
+
+
+def test_topk_ties_break_by_id(spark):
+    rows = [(9, "s", 0.5), (3, "s", 0.5), (7, "s", 0.5), (1, "s", 0.4)]
+    df = spark.createDataFrame(rows, ["id", "stratum", "quality"])
+    out = SMP.topk_by_score(df, "stratum", "id", "quality", 2).collect()
+    assert [(r["rank"], r["id"]) for r in out] == [(1, 3), (2, 7)]
+
+
+def test_quality_topk_end_to_end(spark, sf_dir):
+    """quality_topk_per_stratum over the real documents table: ranks are
+    1..k per stratum, qualities non-increasing within a stratum."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = SMP.quality_topk_per_stratum(docs, "text", "doc_id",
+                                       "source", k=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["stratum"], []).append((r["rank"], r["quality"]))
+    for s, lst in per.items():
+        ranks = [rk for rk, _q in lst]
+        assert ranks == list(range(1, len(ranks) + 1))
+        quals = [q for _rk, q in lst]
+        assert quals == sorted(quals, reverse=True)
