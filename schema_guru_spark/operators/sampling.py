@@ -115,6 +115,10 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str,
 
     Output: one row per sequence: (seq_id, n_docs, n_tokens, first_doc,
     last_doc), ordered by seq_id.
+
+    Contract: ids must be UNIQUE — the packing order is "id ascending",
+    and duplicate ids would make the intra-partition cumsum order (and
+    so the whole packing) nondeterministic.
     """
     src = df.select(F.col(id_col).alias("id"),
                     F.col(token_col).cast("long").alias("n_tok"))
