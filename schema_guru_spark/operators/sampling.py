@@ -75,6 +75,11 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
     (salt, id, rates) — independent of partitioning, run, cluster size,
     and engine (the same predicate is ANSI SQL, see the oracle twin).
     """
+    if not 0.0 <= default_rate:
+        raise ValueError(f"default_rate must be >= 0, got {default_rate}")
+    bad = {s: r for s, r in rates.items() if r < 0.0}
+    if bad:
+        raise ValueError(f"negative rates: {bad}")
     tok = F.substring(
         F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
         1, 8)
@@ -120,6 +125,10 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str,
     and duplicate ids would make the intra-partition cumsum order (and
     so the whole packing) nondeterministic.
     """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_ranges < 1:
+        raise ValueError(f"n_ranges must be >= 1, got {n_ranges}")
     src = df.select(F.col(id_col).alias("id"),
                     F.col(token_col).cast("long").alias("n_tok"))
     ranged = (src.repartitionByRange(n_ranges, "id")

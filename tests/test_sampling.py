@@ -181,6 +181,18 @@ def test_topk_ties_break_by_id(spark):
     assert [(r["rank"], r["id"]) for r in out] == [(1, 3), (2, 7)]
 
 
+def test_argument_guards(spark, corpus):
+    df = spark.createDataFrame(corpus, ["id", "stratum", "n_tok", "score"])
+    with pytest.raises(ValueError, match="budget"):
+        SMP.pack_sequences(df, "id", "n_tok", budget=0)
+    with pytest.raises(ValueError, match="n_ranges"):
+        SMP.pack_sequences(df, "id", "n_tok", budget=10, n_ranges=0)
+    with pytest.raises(ValueError, match="negative"):
+        SMP.stratified_sample(df, "stratum", "id", {"a": -0.1})
+    with pytest.raises(ValueError, match="default_rate"):
+        SMP.stratified_sample(df, "stratum", "id", {}, default_rate=-1.0)
+
+
 def test_quality_topk_end_to_end(spark, sf_dir):
     """quality_topk_per_stratum over the real documents table: ranks are
     1..k per stratum, qualities non-increasing within a stratum."""
