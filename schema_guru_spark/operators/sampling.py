@@ -30,6 +30,13 @@ Scale notes per operator:
                       k x n_partitions rows per stratum instead of the
                       corpus; a hot stratum can no longer spill the
                       window sort.
+
+Streaming: stratified_sample is a stateless projection+filter and
+applies UNCHANGED to a streaming DataFrame (append mode, no state
+store — stream==batch pinned in tests/test_sampling.py). The other two
+are inherently global (a corpus-order prefix sum / an unbounded
+per-stratum top-k) and are batch/micro-batch-recompute operators by
+design.
 """
 
 from __future__ import annotations

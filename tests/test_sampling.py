@@ -181,6 +181,30 @@ def test_topk_ties_break_by_id(spark):
     assert [(r["rank"], r["id"]) for r in out] == [(1, 3), (2, 7)]
 
 
+def test_stratified_sample_streams_stateless(spark, tmp_path, corpus):
+    """stratified_sample is a pure projection+filter, so the SAME
+    function applies unchanged to a streaming DataFrame: stream==batch
+    row-for-row, append mode, no state store, no watermark."""
+    rates = {"a": 0.5, "hot": 0.25}
+    batch = spark.createDataFrame(corpus,
+                                  ["id", "stratum", "n_tok", "score"])
+    expected = sorted(tuple(r) for r in
+                      SMP.stratified_sample(batch, "stratum", "id",
+                                            rates, 0.125).collect())
+    src = tmp_path / "sample_in"
+    batch.write.parquet(str(src))
+    stream = (spark.readStream
+              .schema("id bigint, stratum string, n_tok bigint, score double")
+              .parquet(str(src)))
+    out = SMP.stratified_sample(stream, "stratum", "id", rates, 0.125)
+    q = (out.writeStream.format("memory").queryName("sample_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM sample_out").collect())
+    assert got == expected and len(got) > 0
+
+
 def test_argument_guards(spark, corpus):
     df = spark.createDataFrame(corpus, ["id", "stratum", "n_tok", "score"])
     with pytest.raises(ValueError, match="budget"):
