@@ -22,6 +22,10 @@ import hashlib
 import json
 import random
 import sys
+
+# runnable as `python tests/<this>.py` from anywhere
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import tempfile
 import time
 

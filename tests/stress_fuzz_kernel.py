@@ -28,6 +28,10 @@ import json
 import random
 import string
 import sys
+
+# runnable as `python tests/<this>.py` from anywhere
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import uuid as _uuid
 

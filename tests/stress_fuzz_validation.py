@@ -26,6 +26,10 @@ import argparse
 import json
 import random
 import sys
+
+# runnable as `python tests/<this>.py` from anywhere
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import tempfile
 import time
 
