@@ -189,6 +189,11 @@ def topk_by_score(scored: DataFrame, strata_col: str, id_col: str,
     map-side CPU, never a spilling window sort. Input must already be
     NARROW (id, stratum, score[, small extras]) — never the text.
     """
+    if k < 1:
+        # pandas head(k<0) means "all but the last |k|" — a negative k
+        # would silently do WORK in the local pass before the window
+        # filter empties the result; refuse instead
+        raise ValueError(f"k must be >= 1, got {k}")
     narrow = scored.select(
         F.col(id_col).alias("id"), F.col(strata_col).alias("stratum"),
         F.col(score_col).alias("quality"),

@@ -215,6 +215,10 @@ def test_argument_guards(spark, corpus):
         SMP.stratified_sample(df, "stratum", "id", {"a": -0.1})
     with pytest.raises(ValueError, match="default_rate"):
         SMP.stratified_sample(df, "stratum", "id", {}, default_rate=-1.0)
+    with pytest.raises(ValueError, match="k must"):
+        SMP.topk_by_score(
+            df.select("id", "stratum", F.col("score").alias("quality")),
+            "stratum", "id", "quality", 0)
 
 
 def test_quality_topk_end_to_end(spark, sf_dir):
