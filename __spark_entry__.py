@@ -289,6 +289,31 @@ def q_quality_topk_per_source(spark, sf):
                                         "text", "doc_id", "source", k=5)
 
 
+# hash_split_docs / domain_mix_plan_docs share these constants with
+# their oracle twins so both engines compile from ONE cumulative sum /
+# ONE driver-side target*budget product (see sampling.split_thresholds)
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_MIX_TARGETS = {"src0": 0.3, "src1": 0.2, "src2": 0.1}
+_MIX_BUDGET = 200
+
+
+def q_hash_split_docs(spark, sf):
+    # deterministic train/val/test assignment: exactly one label per
+    # doc by cumulative md5-threshold regions — zero shuffle, stable
+    # across partitioning/cluster size, train region nested under
+    # fraction growth
+    return SMP.hash_split(_t(spark, sf, "documents"), "doc_id",
+                          _SPLIT_FRACTIONS).orderBy("id")
+
+
+def q_domain_mix_plan_docs(spark, sf):
+    # target-mixture reweighting plan: per-source sampling rates for a
+    # 200-doc budget at 30/20/10% target shares; one map-combined
+    # groupBy over the source column, #strata output rows
+    return SMP.domain_mix_plan(_t(spark, sf, "documents"), "source",
+                               _MIX_TARGETS, _MIX_BUDGET)
+
+
 def q_cosine_topk_embeddings(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
@@ -705,6 +730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
         "quality_topk_per_source": q_quality_topk_per_source,
+        "hash_split_docs": q_hash_split_docs,
+        "domain_mix_plan_docs": q_domain_mix_plan_docs,
         "string_profile_cname": q_string_profile_cname,
         "numeric_profile_acctbal": q_numeric_profile_acctbal,
         "duplicate_keys_distributed": q_duplicate_keys_distributed,
@@ -867,6 +894,54 @@ _SIMHASH_FPS_CTE = r"""
       SELECT d.id, coalesce(fps0.fp, 0)::BIGINT AS fp
       FROM (SELECT DISTINCT id FROM d) d LEFT JOIN fps0 USING (id))
 """
+
+
+def _hash_split_sql() -> str:
+    """Oracle twin of q_hash_split_docs: the boundary literals come
+    from sampling.split_thresholds over the SAME fraction dict, so both
+    engines compile one cumulative sum (never two float re-derivations
+    that could disagree at a boundary)."""
+    tok = "substr(md5('sgs-sample:' || doc_id::VARCHAR), 1, 8)"
+    whens = "\n".join(
+        f"                 WHEN {tok} < '{thr}' THEN '{label}'"
+        for label, thr in SMP.split_thresholds(_SPLIT_FRACTIONS))
+    tail = list(_SPLIT_FRACTIONS)[-1]
+    return f"""
+            SELECT doc_id AS id,
+                   CASE
+{whens}
+                 ELSE '{tail}' END AS split,
+                   {tok} AS split_token
+            FROM documents ORDER BY id
+        """
+
+
+def _mix_plan_sql() -> str:
+    """Oracle twin of q_domain_mix_plan_docs: target_frac and the
+    target*budget numerator are embedded as repr() of the SAME Python
+    doubles the Spark plan compiles (repr round-trips exactly through
+    DuckDB's decimal->DOUBLE parse), so rate is one identical IEEE
+    division in both engines."""
+    tf = "".join(
+        f" WHEN '{s}' THEN {targets!r}::DOUBLE"
+        for s, targets in sorted(_MIX_TARGETS.items()))
+    want = "".join(
+        f" WHEN '{s}' THEN {float(t * _MIX_BUDGET)!r}::DOUBLE"
+        for s, t in sorted(_MIX_TARGETS.items()))
+    return f"""
+            WITH per AS (
+              SELECT source AS stratum, count(*)::BIGINT AS n_rows
+              FROM documents GROUP BY source),
+            plan AS (
+              SELECT stratum, n_rows,
+                     CASE stratum{tf} ELSE 0.0::DOUBLE END AS target_frac,
+                     least(1.0, CASE stratum{want} ELSE 0.0::DOUBLE END
+                                / n_rows) AS rate
+              FROM per)
+            SELECT stratum, n_rows, target_frac, rate,
+                   floor(rate * n_rows)::BIGINT AS expected_kept
+            FROM plan ORDER BY stratum
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1817,6 +1892,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT stratum, rk::INT AS rank, id, quality, n_chars
             FROM ranked WHERE rk <= 5 ORDER BY stratum, rank
         """,
+        "hash_split_docs": _hash_split_sql(),
+        "domain_mix_plan_docs": _mix_plan_sql(),
         # infer_props_schema / infer_by_event_type: recursive merge state,
         # not SQL-expressible -> rows-only check (SURVEY.md §2 A1/A8).
         # ks_quantity_sketch: Spark-internal QuantileSummaries cut-points

@@ -1,5 +1,6 @@
 """Corpus selection and packing operators for training-data pipelines:
-deterministic stratified sampling, token-budget sequence packing, and
+deterministic stratified sampling, hash-based train/val/test splits,
+target-mixture reweighting plans, token-budget sequence packing, and
 per-stratum quality top-k selection.
 
 Beyond-reference extensions (like dedup.py / textstats.py /
@@ -19,6 +20,16 @@ Scale notes per operator:
                       its kept set (the r=0.25 sample is a subset of the
                       r=0.5 sample), which makes downsampling reruns and
                       A/B ablations consistent across jobs.
+  hash_split          map-only, ZERO shuffle: exactly-one-label
+                      assignment by cumulative hash thresholds; the
+                      60% train region is a subset of the 80% one
+                      (same order + salt), so re-splits are consistent.
+  domain_mix_plan     one map-combined groupBy over #strata keys; the
+                      rate arithmetic is a single IEEE division so the
+                      plan is bit-identical across engines. apply_mix_
+                      plan collects the tiny plan and feeds
+                      stratified_sample — the row filter itself never
+                      shuffles.
   pack_sequences      the global prefix sum is two-phase (per-range
                       partials + broadcast offsets), NOT a single
                       global window — a Window.orderBy with no
@@ -104,6 +115,132 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
                       F.col(strata_col).alias("stratum"),
                       tok.alias("keep_token"))
               .where(keep))
+
+
+def hash_split(df: DataFrame, id_col: str, fractions: dict[str, float],
+               salt: str = DEFAULT_SALT) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets exactly
+    one split label, decided by where md5(salt:id)[0:8] falls among the
+    cumulative-fraction thresholds.
+
+    ``fractions`` is an ORDERED mapping label -> fraction (insertion
+    order defines which hash region each label owns — keep it stable
+    across jobs or the assignment changes); fractions must be positive
+    and sum to 1 within 1e-9. The last label takes the open tail region
+    (no 9-char threshold, see ``_rate_to_hex_threshold``), so float
+    rounding in the cumulative sum can never orphan a row.
+
+    Scale shape: map-only, ZERO shuffle — the label is a pure function
+    of (salt, id, fractions), independent of partitioning, run, and
+    cluster size, and the same predicate is ANSI SQL (oracle twin).
+    Growing the first label's fraction (same order, same salt) strictly
+    grows its region — the 60% train set is a subset of the 80% one —
+    so re-splits stay consistent across ablations. Being a stateless
+    projection it applies UNCHANGED to a streaming DataFrame.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    bad = {s: f for s, f in fractions.items() if f <= 0.0}
+    if bad:
+        raise ValueError(f"non-positive fractions: {bad}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total!r}")
+    tok = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        1, 8)
+    labels = list(fractions)
+    split = F.lit(labels[-1])  # open tail region
+    cum = 0.0
+    # walk the boundaries in reverse so the earliest label's WHEN lands
+    # outermost: CASE WHEN tok < thr_1 THEN l_1 WHEN tok < thr_2 ...
+    bounds: list[tuple[str, str]] = []
+    for label in labels[:-1]:
+        cum += fractions[label]
+        bounds.append((label, _rate_to_hex_threshold(cum)))
+    for label, thr in reversed(bounds):
+        split = F.when(tok < F.lit(thr), F.lit(label)).otherwise(split)
+    return df.select(F.col(id_col).alias("id"), split.alias("split"),
+                     tok.alias("split_token"))
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """The (label, upper-threshold-hex) boundary list ``hash_split``
+    compiles, for callers that need the same literals elsewhere (the
+    DuckDB oracle twin embeds them so both engines compute the
+    boundaries from ONE cumulative sum, not two float re-derivations).
+    The last label has no threshold (open tail) and is omitted."""
+    bounds, cum = [], 0.0
+    for label in list(fractions)[:-1]:
+        cum += fractions[label]
+        bounds.append((label, _rate_to_hex_threshold(cum)))
+    return bounds
+
+
+def domain_mix_plan(df: DataFrame, strata_col: str,
+                    targets: dict[str, float], budget: int) -> DataFrame:
+    """Turn a target corpus mixture into per-stratum sampling rates:
+    given target proportions per domain/source and a total document
+    budget, compute rate_s = min(1, target_s * budget / n_s) plus the
+    expected kept count — the plan a DoReMi-style static data mixture
+    feeds into ``stratified_sample``.
+
+    A stratum can be UNDERFULL (n_s < target_s * budget): its rate caps
+    at 1.0 and expected_kept == n_s, so the realized mixture shifts —
+    the plan reports it honestly (expected_kept < target_s * budget)
+    rather than silently over-sampling other strata. Strata absent from
+    ``targets`` get rate 0.
+
+    Scale shape: one map-combined groupBy over the strata column — the
+    exchange moves at most (#strata x #partitions) partial counts, and
+    the output is #strata rows. The arithmetic computes target*budget
+    driver-side as ONE double literal so rate is a single IEEE division
+    identical across engines (oracle twin).
+
+    Output: (stratum, n_rows, target_frac, rate, expected_kept)
+    ordered by stratum.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    bad = {s: t for s, t in targets.items() if t < 0.0}
+    if bad:
+        raise ValueError(f"negative targets: {bad}")
+    total = sum(targets.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"targets must sum to <= 1, got {total!r}")
+    per = df.groupBy(F.col(strata_col).alias("stratum")) \
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+    tf = F.lit(0.0)
+    want = F.lit(0.0)
+    # sorted() so the compiled CASE chain is a deterministic function
+    # of the target dict, not of its insertion order
+    for stratum in sorted(targets, reverse=True):
+        t = float(targets[stratum])
+        tf = F.when(F.col("stratum") == stratum, F.lit(t)).otherwise(tf)
+        want = F.when(F.col("stratum") == stratum,
+                      F.lit(t * budget)).otherwise(want)
+    rate = F.least(F.lit(1.0), want / F.col("n_rows"))
+    return (per.select(
+                "stratum", "n_rows", tf.alias("target_frac"),
+                rate.alias("rate"),
+                F.floor(rate * F.col("n_rows")).cast("long")
+                 .alias("expected_kept"))
+               .orderBy("stratum"))
+
+
+def apply_mix_plan(df: DataFrame, strata_col: str, id_col: str,
+                   targets: dict[str, float], budget: int,
+                   salt: str = DEFAULT_SALT) -> DataFrame:
+    """Compute the mix plan and apply it: collect the per-stratum rates
+    (tiny — #strata rows, the only driver-side step) and hand them to
+    ``stratified_sample``, so the actual row filter stays the zero-
+    shuffle hash-threshold projection. Strata outside ``targets`` are
+    dropped (default_rate 0)."""
+    plan = domain_mix_plan(df, strata_col, targets, budget).collect()
+    rates = {r["stratum"]: float(r["rate"]) for r in plan
+             if r["rate"] > 0.0}
+    return stratified_sample(df, strata_col, id_col, rates,
+                             default_rate=0.0, salt=salt)
 
 
 def pack_sequences(df: DataFrame, id_col: str, token_col: str,

@@ -235,3 +235,132 @@ def test_quality_topk_end_to_end(spark, sf_dir):
         assert ranks == list(range(1, len(ranks) + 1))
         quals = [q for _rk, q in lst]
         assert quals == sorted(quals, reverse=True)
+
+
+def test_hash_split_partitions_every_row(spark, corpus):
+    """Every row gets exactly one label; realized fractions track the
+    nominal ones; the assignment is partition-independent."""
+    df = spark.createDataFrame(corpus, ["id", "stratum", "n_tok", "score"])
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = SMP.hash_split(df, "id", fr).collect()
+    assert len(out) == len(corpus)
+    assert {r["id"] for r in out} == {r[0] for r in corpus}
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], set()).add(r["id"])
+    assert set(by) <= set(fr)
+    assert len(by["train"]) > len(by["val"]) + len(by["test"])
+    ref = {(r["id"], r["split"]) for r in out}
+    for n in (3, 13):
+        got = {(r["id"], r["split"]) for r in
+               SMP.hash_split(df.repartition(n), "id", fr).collect()}
+        assert got == ref
+
+
+def test_hash_split_nested_train_region(spark, corpus):
+    """Growing the first label's fraction (same order, same salt)
+    strictly grows its region — the 60% train set is a subset of the
+    80% one."""
+    df = spark.createDataFrame(corpus, ["id", "stratum", "n_tok", "score"])
+
+    def train_ids(p):
+        out = SMP.hash_split(df, "id",
+                             {"train": p, "val": (1 - p) / 2,
+                              "test": (1 - p) / 2})
+        return {r["id"] for r in out.where("split = 'train'").collect()}
+
+    assert train_ids(0.6) <= train_ids(0.8)
+
+
+def test_hash_split_is_map_only_and_guards(spark, corpus):
+    df = spark.createDataFrame(corpus, ["id", "stratum", "n_tok", "score"])
+    out = SMP.hash_split(df, "id", {"train": 0.9, "test": 0.1})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="non-empty"):
+        SMP.hash_split(df, "id", {})
+    with pytest.raises(ValueError, match="non-positive"):
+        SMP.hash_split(df, "id", {"train": 1.0, "val": 0.0})
+    with pytest.raises(ValueError, match="sum to 1"):
+        SMP.hash_split(df, "id", {"train": 0.5, "val": 0.1})
+    # split_thresholds mirrors the compiled boundaries: one per label
+    # except the open-tail last, each 8 hex chars
+    bounds = SMP.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert [b[0] for b in bounds] == ["train", "val"]
+    assert all(len(b[1]) == 8 for b in bounds)
+
+
+def test_domain_mix_plan_rates_and_caps(spark, corpus):
+    """rate = min(1, target*budget/n); underfull strata cap at 1.0 with
+    expected_kept == n_rows; strata outside targets get rate 0."""
+    df = spark.createDataFrame(corpus, ["id", "stratum", "n_tok", "score"])
+    n_by = {r["stratum"]: r["cnt"] for r in
+            df.groupBy("stratum").agg(F.count("*").alias("cnt")).collect()}
+    targets = {"a": 0.5, "hot": 0.01}
+    budget = 300
+    plan = {r["stratum"]: r for r in
+            SMP.domain_mix_plan(df, "stratum", targets, budget).collect()}
+    assert set(plan) == set(n_by)
+    for s, r in plan.items():
+        t = targets.get(s, 0.0)
+        want = min(1.0, (t * budget) / n_by[s])
+        assert abs(r["rate"] - want) < 1e-12
+        assert r["expected_kept"] == int(want * n_by[s] // 1)
+        assert r["n_rows"] == n_by[s]
+    # 'a' is underfull at these numbers: 0.5*300=150 > n_a
+    assert plan["a"]["rate"] == 1.0
+    assert plan["a"]["expected_kept"] == n_by["a"]
+    assert plan["b"]["rate"] == 0.0 and plan["b"]["expected_kept"] == 0
+    with pytest.raises(ValueError, match="budget"):
+        SMP.domain_mix_plan(df, "stratum", targets, 0)
+    with pytest.raises(ValueError, match="negative"):
+        SMP.domain_mix_plan(df, "stratum", {"a": -0.2}, 10)
+    with pytest.raises(ValueError, match="sum to"):
+        SMP.domain_mix_plan(df, "stratum", {"a": 0.8, "b": 0.4}, 10)
+
+
+def test_apply_mix_plan_matches_composition(spark, corpus):
+    """apply_mix_plan == stratified_sample with the plan's own rates,
+    and the realized per-stratum counts track expected_kept."""
+    df = spark.createDataFrame(corpus, ["id", "stratum", "n_tok", "score"])
+    targets = {"a": 0.3, "b": 0.2, "hot": 0.05}
+    budget = 200
+    plan = SMP.domain_mix_plan(df, "stratum", targets, budget).collect()
+    rates = {r["stratum"]: float(r["rate"]) for r in plan if r["rate"] > 0}
+    via_compose = {(r["id"], r["stratum"]) for r in
+                   SMP.stratified_sample(df, "stratum", "id", rates,
+                                         0.0).collect()}
+    got = SMP.apply_mix_plan(df, "stratum", "id", targets, budget)
+    assert {(r["id"], r["stratum"]) for r in got.collect()} == via_compose
+    kept_by = {}
+    for r in got.collect():
+        kept_by[r["stratum"]] = kept_by.get(r["stratum"], 0) + 1
+    for r in plan:
+        if r["expected_kept"] == 0:
+            assert r["stratum"] not in kept_by
+        else:
+            # hash-threshold realization is binomial around the target
+            assert abs(kept_by.get(r["stratum"], 0) - r["expected_kept"]) \
+                <= max(10, r["expected_kept"] * 0.5)
+
+
+def test_hash_split_streams_stateless(spark, tmp_path, corpus):
+    """hash_split is a stateless projection: identical labels when the
+    same rows arrive as a stream."""
+    df = spark.createDataFrame(corpus, ["id", "stratum", "n_tok", "score"])
+    src = str(tmp_path / "split_src")
+    df.write.parquet(src)
+    fr = {"train": 0.7, "val": 0.3}
+    expected = sorted((r["id"], r["split"])
+                      for r in SMP.hash_split(df, "id", fr).collect())
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = SMP.hash_split(stream, "id", fr)
+    q = (out.writeStream.format("memory").queryName("split_out")
+            .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r["id"], r["split"]) for r in
+                 spark.sql("SELECT * FROM split_out").collect())
+    assert got == expected and len(got) > 0
