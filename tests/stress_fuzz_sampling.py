@@ -14,6 +14,12 @@ exact Python brute force:
   S3 topk_by_score == brute-force sort/head per stratum (ties by id),
      under random k and a random compact_every (forcing the
      accumulator-compaction path on some rounds)
+  S4 hash_split == per-row cumulative-threshold recomputation (every
+     row exactly one label), AND the nested-region law (growing the
+     first label's fraction keeps a superset of its region)
+  S5 domain_mix_plan == driver arithmetic (min(1, target*budget/n),
+     floor for expected_kept) over brute per-stratum counts, AND
+     apply_mix_plan == brute_sample under the plan's own rates
 
 The unit suite (test_sampling.py) pins these on fixed seeds; this
 script is the multi-seed adversarial-depth companion."""
@@ -137,8 +143,64 @@ def main() -> int:
                 for r in outk}
         assert gotk == brute_topk(rows, k), f"round {rnd}: S3"
 
+        # S4 hash split: exactly-one-label + nested-region law
+        n_splits = rng.randint(2, 4)
+        ws = [rng.uniform(0.05, 1.0) for _ in range(n_splits)]
+        fr = {f"p{j}": w / sum(ws) for j, w in enumerate(ws[:-1])}
+        fr[f"p{n_splits - 1}"] = 1.0 - sum(fr.values())
+        gots = {r["id"]: r["split"] for r in
+                SMP.hash_split(df, "id", fr).collect()}
+        wants = {}
+        for (i, _s, _n, _q) in rows:
+            tok = hashlib.md5(
+                f"{SMP.DEFAULT_SALT}:{i}".encode()).hexdigest()[:8]
+            cum, label = 0.0, list(fr)[-1]
+            for lab in list(fr)[:-1]:
+                cum += fr[lab]
+                if tok < format(int(cum * (1 << 32)), "08x"):
+                    label = lab
+                    break
+            wants[i] = label
+        assert gots == wants, f"round {rnd}: S4"
+        grow = dict(fr)
+        first, last = list(fr)[0], list(fr)[-1]
+        delta = min(0.2, grow[last] / 2)
+        grow[first] += delta
+        grow[last] -= delta
+        a = {i for i, l in gots.items() if l == first}
+        b = {r["id"] for r in SMP.hash_split(df, "id", grow)
+             .where(f"split = '{first}'").collect()}
+        assert a <= b, f"round {rnd}: S4 nested-region law"
+
+        # S5 mixture plan + its application
+        n_by = {}
+        for (_i, s, _n, _q) in rows:
+            n_by[s] = n_by.get(s, 0) + 1
+        tgt_strata = rng.sample(strata, rng.randint(0, len(strata)))
+        raw = {s: rng.uniform(0.01, 1.0) for s in tgt_strata}
+        scale = rng.uniform(0.1, 1.0) / max(sum(raw.values()), 1e-9)
+        targets = {s: w * scale for s, w in raw.items()}
+        budget = rng.choice([1, 10, 200, 5000])
+        plan = {r["stratum"]: r for r in
+                SMP.domain_mix_plan(df, "stratum", targets,
+                                    budget).collect()}
+        assert set(plan) == set(n_by), f"round {rnd}: S5 strata"
+        for s, r in plan.items():
+            want_rate = min(1.0, (targets.get(s, 0.0) * budget) / n_by[s])
+            assert r["rate"] == want_rate, f"round {rnd}: S5 rate {s}"
+            assert r["expected_kept"] == int(want_rate * n_by[s] // 1)
+            assert r["n_rows"] == n_by[s]
+        applied = {r["id"] for r in
+                   SMP.apply_mix_plan(df, "stratum", "id", targets,
+                                      budget).collect()}
+        want_applied = brute_sample(
+            rows, {s: r["rate"] for s, r in plan.items() if r["rate"] > 0},
+            0.0, SMP.DEFAULT_SALT)
+        assert applied == want_applied, f"round {rnd}: S5 apply"
+
         print(f"round {rnd}: ok (n={len(rows)}, parts={nparts}, "
-              f"budget={budget}, ranges={n_ranges}, k={k})", flush=True)
+              f"budget={budget}, ranges={n_ranges}, k={k}, "
+              f"splits={n_splits}, mix={len(targets)})", flush=True)
 
     print(f"ALL CLEAN: {args.rounds} rounds in {time.time() - t0:.1f}s")
     return 0
