@@ -103,7 +103,8 @@ def main() -> None:
         "repetition_docs", "contamination_docs", "dup_span_census_docs",
         "curation_docs", "source_mix_docs",
         "stratified_sample_docs", "pack_sequences_docs",
-        "quality_topk_per_source",
+        "quality_topk_per_source", "hash_split_docs",
+        "domain_mix_plan_docs",
     ]
     # same treatment as the headline set (r04 verdict #3: pipeline
     # queries got 1 warm sample while headline got 3-5 with medians, so
