@@ -74,7 +74,13 @@ def _rate_to_hex_threshold(rate: float) -> str | None:
         return None
     if rate <= 0.0:
         return "00000000"
-    return format(int(rate * (1 << 32)), "08x")
+    # defensive clamp: the width-8 invariant must not depend on float
+    # rounding at the boundary. For every double rate < 1.0 the product
+    # already stays below 2^32 (the one exact-halfway case, rate
+    # = 1 - 2^-53, rounds DOWN under round-half-even — pinned by
+    # test_threshold_width_invariant_at_boundary), but the clamp makes
+    # the contract structural rather than an accident of IEEE rounding.
+    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
 
 
 def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
@@ -331,6 +337,18 @@ def topk_by_score(scored: DataFrame, strata_col: str, id_col: str,
         # would silently do WORK in the local pass before the window
         # filter empties the result; refuse instead
         raise ValueError(f"k must be >= 1, got {k}")
+    # the extras pass through under their ORIGINAL names next to the
+    # id/stratum/quality aliases — a passthrough column that already
+    # uses one of those names would duplicate it and every downstream
+    # F.col() reference turns ambiguous; refuse up front
+    clash = {c for c in scored.columns
+             if c not in (id_col, strata_col, score_col)} \
+        & {"id", "stratum", "quality"}
+    if clash:
+        raise ValueError(
+            f"passthrough column(s) {sorted(clash)} collide with the "
+            f"operator's reserved output names (id, stratum, quality); "
+            f"rename them before calling topk_by_score")
     narrow = scored.select(
         F.col(id_col).alias("id"), F.col(strata_col).alias("stratum"),
         F.col(score_col).alias("quality"),

@@ -1,6 +1,7 @@
 """Corpus selection/packing operators: deterministic stratified
 sampling, token-budget sequence packing, per-stratum quality top-k."""
 
+import math
 import random
 
 import pytest
@@ -84,6 +85,22 @@ def test_threshold_width_invariant():
     for r in (1e-12, 0.1, 0.5, 0.999999999):
         t = SMP._rate_to_hex_threshold(r)
         assert len(t) == 8 and t == t.lower()
+
+
+def test_threshold_width_invariant_at_boundary():
+    """The width-8 invariant holds for EVERY double below 1.0, including
+    the largest (1 - 2^-53), whose product with 2^32 lands exactly on
+    the rounding halfway point — a 9-char threshold would silently keep
+    ~1/16 of a stratum instead of ~all of it (lexicographic 'ffffffff' <
+    '100000000' is False). The clamp makes this structural; this test
+    pins it against both the clamp and the underlying rounding."""
+    r = math.nextafter(1.0, 0.0)  # largest double < 1.0
+    for _ in range(64):
+        t = SMP._rate_to_hex_threshold(r)
+        assert t is not None and len(t) == 8, (r, t)
+        r = math.nextafter(r, 0.0)
+    # the boundary rate keeps essentially everything
+    assert SMP._rate_to_hex_threshold(math.nextafter(1.0, 0.0)) == "ffffffff"
 
 
 def _pack_reference(rows, budget):
@@ -219,6 +236,13 @@ def test_argument_guards(spark, corpus):
         SMP.topk_by_score(
             df.select("id", "stratum", F.col("score").alias("quality")),
             "stratum", "id", "quality", 0)
+    # a passthrough column named like a reserved output would duplicate
+    # the alias and make every downstream F.col() ambiguous — loud, early
+    with pytest.raises(ValueError, match="collide"):
+        SMP.topk_by_score(
+            df.select(F.col("id").alias("doc"), "stratum", "score",
+                      F.col("n_tok").alias("quality")),
+            "stratum", "doc", "score", 3)
 
 
 def test_quality_topk_end_to_end(spark, sf_dir):
